@@ -1,0 +1,19 @@
+"""serl_tpu — a TPU-native actor/learner RL framework.
+
+A from-scratch rebuild of the capabilities of rail-berkeley/serl (sample-efficient
+robotic RL: async actor/learner SAC/DrQ/BC/VICE on Franka manipulation tasks),
+designed TPU-first:
+
+  * the learner is a sharded, jit-compiled pure function over explicit param
+    groups (no implicit module dicts) — gradients all-reduce through GSPMD,
+  * the MuJoCo sim is replaced by a batched XLA physics engine stepping
+    thousands of Panda+cube instances in lockstep under one jit,
+  * the replay buffer lives in HBM as a donated circular pytree,
+  * actor and learner run fused in a single device program (the TPU-native
+    equivalent of the reference's zmq actor/learner split), with an optional
+    multi-process mode over a native C++ transport.
+
+Reference layer map: see SURVEY.md (layers L0-L6).
+"""
+
+__version__ = "0.1.0"
