@@ -1,0 +1,90 @@
+"""Batched operational-space torque controller.
+
+Same control law as the reference's `franka_sim/controllers/opspace.py:59-180`
+(task-space PD with critical damping, task-space inertia weighting, nullspace
+joint PD, gravity compensation), re-derived as pure jnp linear algebra:
+
+  * runs per-env under vmap, 10x per control step (the hot inner loop),
+  * `M^{-1} J^T` via Cholesky solves (M is SPD) instead of explicit inverses,
+  * the reference's det-threshold pinv fallback (opspace.py:156-161) becomes a
+    Tikhonov-damped inverse with the damping ramped up near singularity —
+    branchless, jit-friendly, same bounded-gain behavior.
+"""
+
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_factor, cho_solve
+
+from serl_tpu.envs.physics import panda_model as pm
+from serl_tpu.envs.physics.arm import ArmKin, point_jacobian
+from serl_tpu.envs.physics.math3d import (
+    f32_precision,
+    mat_to_quat,
+    quat_conj,
+    quat_mul,
+    quat_to_axis_angle,
+)
+
+_TORQUE_LO = jnp.asarray(pm.TORQUE_LIMIT[:, 0], jnp.float32)
+_TORQUE_HI = jnp.asarray(pm.TORQUE_LIMIT[:, 1], jnp.float32)
+_Q_HOME = jnp.asarray(pm.PANDA_HOME, jnp.float32)
+
+
+@f32_precision
+def opspace_torques(
+    kin: ArmKin,
+    M: jnp.ndarray,
+    bias: jnp.ndarray,
+    qpos: jnp.ndarray,
+    qvel: jnp.ndarray,
+    target_pos: jnp.ndarray,
+    target_quat: jnp.ndarray,
+    q_des: jnp.ndarray = _Q_HOME,
+    pos_gains: float = 200.0,
+    ori_gains: float = 200.0,
+    damping_ratio: float = 1.0,
+    nullspace_stiffness: float = 0.5,
+) -> jnp.ndarray:
+    """Joint torques for one env. All inputs single-env ((7,), (3,), (4,)...)."""
+    kp = pos_gains
+    kd = damping_ratio * 2.0 * jnp.sqrt(kp)
+    kp_ori = ori_gains
+    kd_ori = damping_ratio * 2.0 * jnp.sqrt(kp_ori)
+    kp_j = nullspace_stiffness
+    kd_j = damping_ratio * 2.0 * jnp.sqrt(kp_j)
+
+    J = point_jacobian(kin, kin.pinch_pos)  # (6,7) [w; v]
+    Jw, Jv = J[:3], J[3:]
+
+    # position PD (reference pd_control, opspace.py:8-30)
+    x = kin.pinch_pos
+    dx = Jv @ qvel
+    ddx = -kp * (x - target_pos) - kd * dx
+
+    # orientation PD (opspace.py:33-56): active (world-frame) error
+    # err = axisangle(cur * des^-1), the rotation taking des to cur
+    quat = mat_to_quat(kin.pinch_rmat)
+    quat = jnp.where(jnp.dot(quat, target_quat) < 0.0, -quat, quat)
+    q_err = quat_mul(quat, quat_conj(target_quat))
+    ori_err = quat_to_axis_angle(q_err)
+    w = Jw @ qvel
+    dw = -kp_ori * ori_err - kd_ori * w
+
+    # task-space inertia: Mx = (J M^-1 J^T)^-1, damped near singularity
+    Jfull = jnp.concatenate([Jv, Jw], axis=0)  # (6,7), [v; w] like reference
+    cf = cho_factor(M)
+    Minv_JT = cho_solve(cf, Jfull.T)  # (7,6)
+    Mx_inv = Jfull @ Minv_JT  # (6,6)
+    det = jnp.linalg.det(Mx_inv)
+    eps = jnp.where(jnp.abs(det) < 1e-2, 1e-2, 1e-6)
+    Mx = jnp.linalg.inv(Mx_inv + eps * jnp.eye(6))
+
+    ddx_dw = jnp.concatenate([ddx, dw])
+    tau = Jfull.T @ (Mx @ ddx_dw)
+
+    # nullspace joint PD (opspace.py:167-176)
+    ddq = -kp_j * (qpos - q_des) - kd_j * qvel
+    Jnull = Minv_JT @ Mx  # (7,6)
+    tau = tau + (jnp.eye(7) - Jfull.T @ Jnull.T) @ ddq
+
+    tau = tau + bias  # gravity + Coriolis compensation
+    return jnp.clip(tau, _TORQUE_LO, _TORQUE_HI)
