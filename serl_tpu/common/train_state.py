@@ -58,7 +58,12 @@ class TrainState(struct.PyTreeNode):
             rng = jax.random.PRNGKey(0)
         assert set(txs.keys()) <= set(params.keys()), (txs.keys(), params.keys())
         opt_states = {g: tx.init(params[g]) for g, tx in txs.items()}
-        target_params = {g: jax.tree.map(jnp.asarray, params[g]) for g in target_groups}
+        # materialize independent copies: target params must not alias params
+        # (aliased buffers break XLA donation in fused loops)
+        target_params = {
+            g: jax.tree.map(lambda x: jnp.array(x, copy=True), params[g])
+            for g in target_groups
+        }
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,

@@ -1,0 +1,242 @@
+"""Fused on-device actor/learner training loop.
+
+The TPU-native replacement for the reference's two-process zmq design
+(actor loop async_sac_state_sim.py:75-165, learner loop :171-248, transport
+via agentlace TrainerServer/TrainerClient): here the actor (N lockstep envs),
+the HBM replay buffer, and the learner (high-UTD SAC updates) are one
+jit-compiled program. "Parameter broadcast" is gone — the actor reads the
+freshest params from the same HBM. Scaling across chips = sharding the env
+batch and replicating params over a mesh (see serl_tpu/distributed).
+
+The loop body is `lax.scan`-rolled in chunks so the host only syncs once per
+chunk to fetch metrics; buffers are donated so insert/update mutate in place.
+
+Reference cadence mapping: per outer iteration every env takes one step and
+the learner runs `updates_per_iter` x `update_high_utd(batch, utd_ratio)`.
+The reference's async actor/learner speed ratio (publish every step, actor
+pulls every 30 steps) becomes an explicit, reproducible ratio here.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from serl_tpu.agents.sac import SACAgent
+from serl_tpu.data.replay_buffer import ReplayBuffer, ReplayBufferState
+from serl_tpu.envs.panda_pick import ACTION_DIM, PandaPickCubeEnv, flatten_obs
+
+
+class LoopConfig(NamedTuple):
+    num_envs: int = 128
+    batch_size: int = 256
+    utd_ratio: int = 8  # critic updates per actor update (critic_actor_ratio)
+    updates_per_iter: int = 1  # update_high_utd calls per env-sweep
+    training_starts: int = 1000  # transitions before learning (run_learner.sh)
+    random_steps: int = 1000  # uniform-random action warmup (run_actor.sh)
+    buffer_capacity: int = 200_000
+    demo_fraction: float = 0.0  # >0 enables 50/50-style RLPD demo mixing
+
+
+class LoopCarry(NamedTuple):
+    agent: SACAgent
+    env_states: Any
+    obs: jnp.ndarray  # flattened (N, obs_dim)
+    rb_state: ReplayBufferState
+    demo_state: Optional[ReplayBufferState]
+    rng: jnp.ndarray
+    env_steps: jnp.ndarray  # () int32 total transitions collected
+    ep_return: jnp.ndarray  # (N,) running episode returns
+    ep_count: jnp.ndarray  # () completed episodes
+    ret_sum: jnp.ndarray  # () sum of completed episode returns
+    succ_sum: jnp.ndarray  # () sum of per-episode max success
+
+
+def make_fused_loop(env: PandaPickCubeEnv, rb: ReplayBuffer, config: LoopConfig):
+    """Returns (init_fn, run_chunk_fn).
+
+    init_fn(agent, rng, demo_state=None) -> LoopCarry
+    run_chunk_fn(carry, num_iters) -> (carry, metrics dict of (num_iters,...))
+    """
+
+    def init_fn(agent, rng, demo_state=None):
+        rng, env_key = jax.random.split(rng)
+        keys = jax.random.split(env_key, config.num_envs)
+        env_states, obs = jax.vmap(env.reset)(keys)
+        return LoopCarry(
+            agent=agent,
+            env_states=env_states,
+            obs=flatten_obs(obs),
+            rb_state=rb.init_state(),
+            demo_state=demo_state,
+            rng=rng,
+            env_steps=jnp.zeros((), jnp.int32),
+            ep_return=jnp.zeros((config.num_envs,)),
+            ep_count=jnp.zeros((), jnp.int32),
+            ret_sum=jnp.zeros(()),
+            succ_sum=jnp.zeros(()),
+        )
+
+    def iter_body(carry: LoopCarry, _) -> Tuple[LoopCarry, dict]:
+        rng, act_key, rand_key, sample_key = jax.random.split(carry.rng, 4)
+
+        # ---- actor: one step for every env ----
+        random_actions = jax.random.uniform(
+            rand_key, (config.num_envs, ACTION_DIM), minval=-1.0, maxval=1.0
+        )
+        policy_actions = carry.agent.sample_actions(carry.obs, seed=act_key)
+        actions = jnp.where(
+            carry.env_steps < config.random_steps, random_actions, policy_actions
+        )
+
+        env_states, next_obs_d, rewards, dones, info = jax.vmap(
+            env.step_auto_reset
+        )(carry.env_states, actions)
+        final_obs = flatten_obs(info["final_obs"])  # pre-reset terminal obs
+        next_obs = flatten_obs(next_obs_d)
+
+        transitions = {
+            "observations": carry.obs,
+            "actions": actions,
+            "next_observations": final_obs,
+            "rewards": rewards,
+            # masks = 1 - done: bootstrap cut at the time limit, mirroring
+            # async_sac_state_sim.py:129-138
+            "masks": 1.0 - dones,
+            "dones": dones,
+        }
+        ep_ids = carry.env_states.ep_id * config.num_envs + jnp.arange(
+            config.num_envs, dtype=jnp.int32
+        )
+        rb_state = rb.insert(carry.rb_state, transitions, ep_ids)
+
+        # ---- episode stats ----
+        ep_return = carry.ep_return + rewards
+        done_mask = dones > 0.5
+        ep_count = carry.ep_count + done_mask.sum().astype(jnp.int32)
+        ret_sum = carry.ret_sum + jnp.where(done_mask, ep_return, 0.0).sum()
+        succ_sum = carry.succ_sum + jnp.where(
+            done_mask, info["success"], 0.0
+        ).sum()
+        ep_return = jnp.where(done_mask, 0.0, ep_return)
+
+        env_steps = carry.env_steps + config.num_envs
+
+        # ---- learner ----
+        def do_updates(operand):
+            agent, rb_state, demo_state, key = operand
+            def one(agent, k):
+                if config.demo_fraction > 0.0 and demo_state is not None:
+                    batch = rb.sample_mixed(
+                        rb_state,
+                        demo_state,
+                        k,
+                        config.batch_size * config.utd_ratio,
+                    )
+                else:
+                    batch = rb.sample(
+                        rb_state, k, config.batch_size * config.utd_ratio
+                    )
+                agent, infos = agent.update_high_utd(
+                    batch, utd_ratio=config.utd_ratio
+                )
+                return agent, infos
+
+            keys = jax.random.split(key, config.updates_per_iter)
+            agent, infos = jax.lax.scan(one, agent, keys)
+            infos = jax.tree.map(lambda x: x.mean(axis=0), infos)
+            return agent, infos
+
+        def no_updates(operand):
+            agent, rb_state, demo_state, key = operand
+            # zero infos with the same structure, without paying for an update
+            infos_shape = jax.eval_shape(lambda op: do_updates(op)[1], operand)
+            infos = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), infos_shape
+            )
+            return agent, infos
+
+        can_train = rb_state.size >= jnp.asarray(
+            max(config.training_starts, config.batch_size * config.utd_ratio),
+            jnp.int32,
+        )
+        agent, update_infos = jax.lax.cond(
+            can_train,
+            do_updates,
+            no_updates,
+            (carry.agent, rb_state, carry.demo_state, sample_key),
+        )
+
+        metrics = {
+            "reward_mean": rewards.mean(),
+            "env_steps": env_steps,
+            "buffer_size": rb_state.size,
+            "critic_loss": update_infos["critic"]["critic_loss"],
+            "actor_loss": update_infos["actor"]["actor_loss"],
+            "temperature": update_infos["actor"]["temperature"],
+            "entropy": update_infos["actor"]["entropy"],
+            "ep_count": ep_count,
+            "ret_sum": ret_sum,
+            "succ_sum": succ_sum,
+        }
+
+        new_carry = LoopCarry(
+            agent=agent,
+            env_states=env_states,
+            obs=next_obs,
+            rb_state=rb_state,
+            demo_state=carry.demo_state,
+            rng=rng,
+            env_steps=env_steps,
+            ep_return=ep_return,
+            ep_count=ep_count,
+            ret_sum=ret_sum,
+            succ_sum=succ_sum,
+        )
+        return new_carry, metrics
+
+    @partial(jax.jit, static_argnames=("num_iters",), donate_argnums=(0,))
+    def run_chunk(carry: LoopCarry, num_iters: int):
+        return jax.lax.scan(iter_body, carry, None, length=num_iters)
+
+    return init_fn, run_chunk
+
+
+def evaluate(env: PandaPickCubeEnv, agent: SACAgent, rng, num_episodes: int = 32):
+    """Deterministic (argmax) policy evaluation: full episodes in lockstep.
+
+    Mirrors `serl_launcher/common/evaluation.py:49-64` semantics (mean return,
+    success) but batched on device.
+    """
+    keys = jax.random.split(rng, num_episodes)
+
+    @jax.jit
+    def rollout(agent, keys):
+        states, obs = jax.vmap(env.reset)(keys)
+
+        def body(carry, _):
+            states, obs, ret, succ = carry
+            actions = agent.sample_actions(flatten_obs(obs), argmax=True)
+            states, obs, r, d, info = jax.vmap(env.step)(states, actions)
+            ret = ret + r
+            succ = jnp.maximum(succ, info["success"])
+            return (states, obs, ret, succ), None
+
+        init = (
+            states,
+            obs,
+            jnp.zeros(num_episodes),
+            jnp.zeros(num_episodes),
+        )
+        (states, obs, ret, succ), _ = jax.lax.scan(body, init, None, length=100)
+        return ret, succ
+
+    ret, succ = rollout(agent, keys)
+    return {
+        "eval/return_mean": float(ret.mean()),
+        "eval/success_rate": float(succ.mean()),
+    }
