@@ -127,8 +127,13 @@ class ReplayBuffer:
     ) -> Data:
         """Attach a (B, T, H, W, C) frame-stack axis to image keys by gathering
         idx-(T-1)..idx, clamping frames from other episodes to the oldest valid
-        frame (reference behavior: stacks never cross episode boundaries)."""
-        if self.num_stack <= 1 or not self.image_keys:
+        frame (reference behavior: stacks never cross episode boundaries).
+
+        The stack axis is ALWAYS present on sampled image keys (even T=1):
+        serl_tpu's convention is an explicit frame-stack axis everywhere, which
+        removes the reference's (T,H,W,C)-vs-(B,H,W,C) rank ambiguity
+        (encoding.py:41-44)."""
+        if not self.image_keys:
             return obs_tree
         T = self.num_stack
         # offsets: T-1 ... 0 so time axis is oldest->newest like the reference

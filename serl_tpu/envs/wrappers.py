@@ -1,0 +1,137 @@
+"""Functional observation/action wrappers for batched envs.
+
+Capability parity: reference `serl_launcher/wrappers/` —
+`SERLObsWrapper` (flatten the state dict, lift images to the top level,
+serl_obs_wrappers.py:5-25), `ChunkingWrapper` (obs-history stacking,
+chunking.py:34-77), `FrontCameraWrapper` (front_camera_wrapper.py:6-26),
+plus relative-frame and quat<->euler transforms used by the robot envs
+(franka_env/envs/relative_env.py, utils/rotations.py).
+
+These are pure functions over obs pytrees (batched or not) rather than gym
+class wrappers — the TPU loop composes them in-graph.
+"""
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from serl_tpu.envs.physics.math3d import (
+    quat_conj,
+    quat_mul,
+    quat_to_mat,
+)
+
+
+def serl_obs(obs: Dict) -> Dict:
+    """Env obs {"state": {...}, "images": {...}} -> SERL flat convention
+    {"state": concat(sorted state values), "<image_key>": img}
+    (reference SERLObsWrapper :5-25)."""
+    out = {}
+    state = obs["state"]
+    out["state"] = jnp.concatenate(
+        [state[k] for k in sorted(state.keys())], axis=-1
+    )
+    for k, v in obs.get("images", {}).items():
+        out[k] = v
+    return out
+
+
+def add_stack_axis(obs: Dict, image_keys: Tuple[str, ...]) -> Dict:
+    """Give live (unstacked) images the explicit T=1 frame-stack axis the
+    agents expect."""
+    out = dict(obs)
+    for k in image_keys:
+        img = out[k]
+        axis = img.ndim - 3  # before H W C
+        out[k] = jnp.expand_dims(img, axis)
+    return out
+
+
+class ChunkState(NamedTuple):
+    """Rolling obs-history state (reference ChunkingWrapper deque)."""
+
+    frames: Dict  # pytree with (…, T, ...) history axis per leaf
+
+
+def chunk_init(obs: Dict, horizon: int) -> ChunkState:
+    return ChunkState(
+        frames=jax.tree.map(
+            lambda x: jnp.repeat(
+                jnp.expand_dims(x, x.ndim - (3 if x.ndim >= 3 else 1)),
+                horizon,
+                axis=x.ndim - (3 if x.ndim >= 3 else 1),
+            ),
+            obs,
+        )
+    )
+
+
+def chunk_push(state: ChunkState, obs: Dict) -> ChunkState:
+    def push(hist, x):
+        axis = hist.ndim - (4 if hist.ndim >= 4 else 2)
+        x = jnp.expand_dims(x, axis)
+        return jnp.concatenate(
+            [jax.lax.slice_in_dim(hist, 1, hist.shape[axis], axis=axis), x],
+            axis=axis,
+        )
+
+    return ChunkState(frames=jax.tree.map(push, state.frames, obs))
+
+
+def front_camera_obs(obs: Dict, front_key: str = "front") -> Dict:
+    """Front-camera-only view for reward classifiers (reference
+    FrontCameraWrapper :6-26)."""
+    return {"state": obs["state"], front_key: obs[front_key]}
+
+
+# ------------------- geometric wrappers (robot parity) ------------------- #
+
+
+def quat_to_euler(quat: jnp.ndarray) -> jnp.ndarray:
+    """(w,x,y,z) -> roll/pitch/yaw, matching reference Quat2EulerWrapper
+    (utils/rotations.py:6-17 uses scipy xyz convention)."""
+    w, x, y, z = jnp.moveaxis(quat, -1, 0)
+    roll = jnp.arctan2(2 * (w * x + y * z), 1 - 2 * (x * x + y * y))
+    pitch = jnp.arcsin(jnp.clip(2 * (w * y - z * x), -1.0, 1.0))
+    yaw = jnp.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
+    return jnp.stack([roll, pitch, yaw], axis=-1)
+
+
+def euler_to_quat(euler: jnp.ndarray) -> jnp.ndarray:
+    roll, pitch, yaw = jnp.moveaxis(euler, -1, 0)
+    cr, sr = jnp.cos(roll / 2), jnp.sin(roll / 2)
+    cp, sp = jnp.cos(pitch / 2), jnp.sin(pitch / 2)
+    cy, sy = jnp.cos(yaw / 2), jnp.sin(yaw / 2)
+    return jnp.stack(
+        [
+            cr * cp * cy + sr * sp * sy,
+            sr * cp * cy - cr * sp * sy,
+            cr * sp * cy + sr * cp * sy,
+            cr * cp * sy - sr * sp * cy,
+        ],
+        axis=-1,
+    )
+
+
+def adjoint_matrix(pos: jnp.ndarray, quat: jnp.ndarray) -> jnp.ndarray:
+    """6x6 adjoint of the (pos, quat) transform (reference
+    utils/transformations.py:5-22) for expressing twists in the EE frame."""
+    from serl_tpu.envs.physics.math3d import skew
+
+    R = quat_to_mat(quat)
+    top = jnp.concatenate([R, jnp.zeros_like(R)], axis=-1)
+    bot = jnp.concatenate([skew(pos) @ R, R], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def pose_relative_to(pose_pos, pose_quat, ref_pos, ref_quat):
+    """Express a world pose in a reference frame (reference RelativeFrame,
+    relative_env.py:11-109)."""
+    inv_q = quat_conj(ref_quat)
+    R_inv = quat_to_mat(inv_q)
+    rel_pos = (pose_pos - ref_pos) @ R_inv.T if pose_pos.ndim > 1 else R_inv @ (
+        pose_pos - ref_pos
+    )
+    rel_quat = quat_mul(inv_q, pose_quat)
+    return rel_pos, rel_quat

@@ -63,6 +63,110 @@ def make_state_replay_buffer(capacity: int = 200_000,
     return ReplayBuffer(example, capacity=capacity)
 
 
+def make_drq_agent(
+    seed: int,
+    sample_obs,
+    sample_action,
+    image_keys=("image",),
+    encoder_type: str = "small",
+    discount: float = 0.96,
+):
+    """Pixel DrQ with reference defaults (launcher.py:79-116)."""
+    from serl_tpu.agents.drq import DrQAgent
+
+    return DrQAgent.create_drq(
+        jax.random.PRNGKey(seed),
+        sample_obs,
+        sample_action,
+        encoder_type=encoder_type,
+        use_proprio=True,
+        image_keys=tuple(image_keys),
+        policy_kwargs={
+            "tanh_squash_distribution": True,
+            "std_parameterization": "exp",
+            "std_min": 1e-5,
+            "std_max": 5.0,
+        },
+        critic_network_kwargs={
+            "activations": nn.tanh,
+            "use_layer_norm": True,
+            "hidden_dims": (256, 256),
+        },
+        policy_network_kwargs={
+            "activations": nn.tanh,
+            "use_layer_norm": True,
+            "hidden_dims": (256, 256),
+        },
+        temperature_init=1e-2,
+        discount=discount,
+        backup_entropy=False,
+        critic_ensemble_size=10,
+        critic_subsample_size=2,
+    )
+
+
+def make_pixel_replay_buffer(
+    capacity: int = 200_000,
+    image_keys=("front", "wrist"),
+    image_size: int = 128,
+    state_dim: int = 7,
+    action_dim: int = ACTION_DIM,
+    num_stack: int = 1,
+) -> ReplayBuffer:
+    """Memory-efficient pixel buffer: frames stored once, stacks + next_obs
+    reconstructed at sample time (reference MemoryEfficientReplayBuffer)."""
+    example = {
+        "observations": {
+            "state": jnp.zeros((state_dim,)),
+            **{
+                k: jnp.zeros((image_size, image_size, 3), jnp.uint8)
+                for k in image_keys
+            },
+        },
+        "actions": jnp.zeros((action_dim,)),
+        "rewards": jnp.zeros(()),
+        "masks": jnp.zeros(()),
+        "dones": jnp.zeros(()),
+    }
+    return ReplayBuffer(
+        example,
+        capacity=capacity,
+        store_next_obs=False,
+        image_keys=tuple(image_keys),
+        num_stack=num_stack,
+    )
+
+
+def make_drq_sim_experiment(
+    seed: int = 0,
+    encoder_type: str = "small",
+    image_size: int = 128,
+    **loop_overrides,
+):
+    """The async_drq_sim-equivalent workload: pixel PandaPickCube + DrQ."""
+    from serl_tpu.training.loop import LoopConfig, make_fused_loop
+    from serl_tpu.envs.wrappers import add_stack_axis, serl_obs
+
+    env = PandaPickCubeEnv(image_obs=True, render_size=image_size)
+    defaults = dict(utd_ratio=4, buffer_capacity=50_000)
+    defaults.update(loop_overrides)
+    config = LoopConfig(**defaults)
+    rb = make_pixel_replay_buffer(
+        capacity=config.buffer_capacity,
+        image_size=image_size,
+    )
+    # build a sample obs through the same pipeline the loop uses
+    state0, obs0 = env.reset(jax.random.PRNGKey(0))
+    sample = add_stack_axis(serl_obs(obs0), rb.image_keys)
+    sample = jax.tree.map(lambda x: x[None], sample)
+    agent = make_drq_agent(
+        seed, sample, jnp.zeros((1, ACTION_DIM)), image_keys=rb.image_keys,
+        encoder_type=encoder_type,
+    )
+    init_fn, run_chunk = make_fused_loop(env, rb, config)
+    return env, agent, rb, config, init_fn, run_chunk
+
+
 def make_state_sim_experiment(seed: int = 0, **loop_overrides):
     """Everything needed for the async_sac_state_sim-equivalent workload."""
     from serl_tpu.training.loop import LoopConfig, make_fused_loop

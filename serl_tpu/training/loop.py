@@ -29,6 +29,7 @@ import numpy as np
 from serl_tpu.agents.sac import SACAgent
 from serl_tpu.data.replay_buffer import ReplayBuffer, ReplayBufferState
 from serl_tpu.envs.panda_pick import ACTION_DIM, PandaPickCubeEnv, flatten_obs
+from serl_tpu.envs.wrappers import add_stack_axis, serl_obs
 
 
 class LoopConfig(NamedTuple):
@@ -61,7 +62,19 @@ def make_fused_loop(env: PandaPickCubeEnv, rb: ReplayBuffer, config: LoopConfig)
 
     init_fn(agent, rng, demo_state=None) -> LoopCarry
     run_chunk_fn(carry, num_iters) -> (carry, metrics dict of (num_iters,...))
+
+    Works for both obs modes: flat state vectors (SAC-state) and the SERL
+    flat pixel convention {"state": vec, "<image_key>": img} (DrQ). In pixel
+    mode the buffer stores single frames (memory-efficient layout) and the
+    agent sees an explicit T=1 stack axis.
     """
+    pixel_keys = rb.image_keys
+
+    def to_buffer_obs(obs_dict):
+        return serl_obs(obs_dict) if pixel_keys else flatten_obs(obs_dict)
+
+    def to_agent_obs(obs):
+        return add_stack_axis(obs, pixel_keys) if pixel_keys else obs
 
     def init_fn(agent, rng, demo_state=None):
         rng, env_key = jax.random.split(rng)
@@ -70,7 +83,7 @@ def make_fused_loop(env: PandaPickCubeEnv, rb: ReplayBuffer, config: LoopConfig)
         return LoopCarry(
             agent=agent,
             env_states=env_states,
-            obs=flatten_obs(obs),
+            obs=to_buffer_obs(obs),
             rb_state=rb.init_state(),
             demo_state=demo_state,
             rng=rng,
@@ -88,7 +101,9 @@ def make_fused_loop(env: PandaPickCubeEnv, rb: ReplayBuffer, config: LoopConfig)
         random_actions = jax.random.uniform(
             rand_key, (config.num_envs, ACTION_DIM), minval=-1.0, maxval=1.0
         )
-        policy_actions = carry.agent.sample_actions(carry.obs, seed=act_key)
+        policy_actions = carry.agent.sample_actions(
+            to_agent_obs(carry.obs), seed=act_key
+        )
         actions = jnp.where(
             carry.env_steps < config.random_steps, random_actions, policy_actions
         )
@@ -96,19 +111,20 @@ def make_fused_loop(env: PandaPickCubeEnv, rb: ReplayBuffer, config: LoopConfig)
         env_states, next_obs_d, rewards, dones, info = jax.vmap(
             env.step_auto_reset
         )(carry.env_states, actions)
-        final_obs = flatten_obs(info["final_obs"])  # pre-reset terminal obs
-        next_obs = flatten_obs(next_obs_d)
+        next_obs = to_buffer_obs(next_obs_d)
 
         transitions = {
             "observations": carry.obs,
             "actions": actions,
-            "next_observations": final_obs,
             "rewards": rewards,
             # masks = 1 - done: bootstrap cut at the time limit, mirroring
             # async_sac_state_sim.py:129-138
             "masks": 1.0 - dones,
             "dones": dones,
         }
+        if rb.store_next_obs:
+            # pre-reset terminal obs is the true successor
+            transitions["next_observations"] = to_buffer_obs(info["final_obs"])
         ep_ids = carry.env_states.ep_id * config.num_envs + jnp.arange(
             config.num_envs, dtype=jnp.int32
         )

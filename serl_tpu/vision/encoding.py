@@ -1,0 +1,121 @@
+"""Observation -> flat-feature encoders over dict observations.
+
+Capability parity: reference `serl_launcher/common/encoding.py` —
+`EncodingWrapper` (per-image-key encoders, frame-stack folding
+B T H W C -> B H W (T C), proprio Dense(64)+LayerNorm+tanh, concat :26-72),
+plus the goal-conditioned (:75-137) and language-conditioned (:140-189)
+variants.
+"""
+
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def _fold_stack(x: jnp.ndarray) -> jnp.ndarray:
+    """(…, T, H, W, C) -> (…, H, W, T*C); passthrough for unstacked images."""
+    if x.ndim == 4:  # T H W C
+        t, h, w, c = x.shape
+        return jnp.moveaxis(x, 0, 2).reshape(h, w, t * c)
+    if x.ndim == 5:  # B T H W C
+        b, t, h, w, c = x.shape
+        return jnp.moveaxis(x, 1, 3).reshape(b, h, w, t * c)
+    return x
+
+
+class ObsEncoder(nn.Module):
+    """Dict obs {"images": {key: img}, "state": proprio} -> flat features.
+
+    `encoders` maps image key -> encoder module. Images may carry a leading
+    frame-stack axis which is folded into channels (reference :39-44).
+    """
+
+    encoders: Dict[str, nn.Module]
+    use_proprio: bool = True
+    proprio_latent_dim: int = 64
+    enable_stacking: bool = True
+    image_keys: Tuple[str, ...] = ("image",)
+
+    @nn.compact
+    def __call__(self, observations, train: bool = False, is_encoded: bool = False):
+        images = observations.get("images", observations)
+        encoded = []
+        for key in self.image_keys:
+            img = images[key]
+            if not is_encoded and self.enable_stacking:
+                img = _fold_stack(img)
+            if is_encoded:
+                # img is already a pre-pooling feature map; pooling head only
+                out = self.encoders[key](img, train=train, encode=False)
+            else:
+                out = self.encoders[key](img, train=train)
+            encoded.append(out)
+        encoded = jnp.concatenate(encoded, axis=-1)
+
+        if self.use_proprio:
+            state = observations["state"]
+            if isinstance(state, dict):
+                state = jnp.concatenate(
+                    [state[k] for k in sorted(state.keys())], axis=-1
+                )
+            if self.enable_stacking and state.ndim == encoded.ndim + 1:
+                # state carries a frame-stack axis: fold (…, T, C) -> (…, T*C)
+                state = state.reshape(state.shape[:-2] + (-1,))
+            state = nn.Dense(
+                self.proprio_latent_dim,
+                kernel_init=nn.initializers.xavier_uniform(),
+            )(state)
+            state = nn.LayerNorm()(state)
+            state = nn.tanh(state)
+            encoded = jnp.concatenate([encoded, state], axis=-1)
+        return encoded
+
+
+class GCObsEncoder(nn.Module):
+    """Goal-conditioned encoder: (obs, goal) -> features with early concat or
+    late fusion (reference GCEncodingWrapper :75-137)."""
+
+    encoder: nn.Module
+    goal_encoder: Optional[nn.Module] = None
+    use_proprio: bool = False
+
+    @nn.compact
+    def __call__(self, observations_and_goals, train: bool = False):
+        observations, goals = observations_and_goals
+        obs_img = observations["image"]
+        goal_img = goals["image"]
+        if self.goal_encoder is None:
+            enc = self.encoder(
+                jnp.concatenate([obs_img, goal_img], axis=-1), train=train
+            )
+        else:
+            enc = jnp.concatenate(
+                [
+                    self.encoder(obs_img, train=train),
+                    self.goal_encoder(goal_img, train=train),
+                ],
+                axis=-1,
+            )
+        if self.use_proprio:
+            enc = jnp.concatenate([enc, observations["proprio"]], axis=-1)
+        return enc
+
+
+class LCObsEncoder(nn.Module):
+    """Language-conditioned encoder (reference LCEncodingWrapper :140-189):
+    conditions the visual encoder on a language embedding via cond_var."""
+
+    encoder: nn.Module
+    use_proprio: bool = False
+
+    @nn.compact
+    def __call__(self, observations_and_goals, train: bool = False):
+        observations, goals = observations_and_goals
+        enc = self.encoder(
+            observations["image"], cond_var=goals["language"], train=train
+        )
+        if self.use_proprio:
+            enc = jnp.concatenate([enc, observations["proprio"]], axis=-1)
+        return enc
