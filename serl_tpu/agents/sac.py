@@ -59,6 +59,7 @@ class SACConfig(NamedTuple):
     critic_subsample_size: Optional[int] = None
     image_keys: Tuple[str, ...] = ()
     has_encoder: bool = False
+    vice_image_keys: Tuple[str, ...] = ()  # used by VICEAgent only
 
 
 class SACAgent(struct.PyTreeNode):

@@ -1,0 +1,105 @@
+"""Demonstration collection and ingestion.
+
+Capability parity: reference demo tooling — `record_demo.py` scripts
+(spacemouse transitions -> pickle), `populate_data_store`
+(`data/data_store.py:147-163`, pkl -> replay buffer), and the RLPD demo
+buffer of `async_drq_sim.py:233-254`.
+
+TPU-native: demos are collected by rolling out a (scripted or learned)
+policy over N lockstep envs under jit, yielding a transitions pytree that
+can be bulk-inserted into an HBM `ReplayBuffer` (`load_transitions`) or
+saved/loaded as a pickle for parity with the reference's workflow.
+"""
+
+import pickle
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from serl_tpu.envs.panda_pick import PandaPickCubeEnv, flatten_obs
+from serl_tpu.envs.wrappers import serl_obs
+
+
+def collect_episodes(
+    env: PandaPickCubeEnv,
+    policy_fn: Callable,  # (EnvState, rng) -> (N, 4) actions
+    rng: jnp.ndarray,
+    num_episodes: int,
+    episode_len: int = 100,
+    pixel_obs: bool = False,
+):
+    """Roll out `num_episodes` lockstep episodes; returns a transitions dict
+    of (num_episodes * episode_len, ...) arrays (+ ep_ids, successes)."""
+    keys = jax.random.split(rng, num_episodes)
+
+    to_obs = (lambda o: serl_obs(o)) if pixel_obs else (lambda o: flatten_obs(o))
+
+    @jax.jit
+    def rollout(keys):
+        states, obs = jax.vmap(env.reset)(keys)
+
+        def body(carry, t):
+            states, obs = carry
+            actions = policy_fn(states, jax.random.fold_in(keys[0], t))
+            new_states, next_obs, rew, done, info = jax.vmap(env.step)(
+                states, actions
+            )
+            tr = {
+                "observations": to_obs(obs),
+                "actions": actions,
+                "next_observations": to_obs(next_obs),
+                "rewards": rew,
+                "masks": 1.0 - done,
+                "dones": done,
+                "success": info["success"],
+            }
+            return (new_states, next_obs), tr
+
+        (states, obs), trs = jax.lax.scan(
+            body, (states, obs), jnp.arange(episode_len)
+        )
+        return trs  # leaves: (T, N, ...)
+
+    trs = rollout(keys)
+    # (T, N, ...) -> (N*T, ...) with episode-major order
+    def fold(x):
+        x = jnp.swapaxes(x, 0, 1)  # (N, T, ...)
+        return x.reshape((-1,) + x.shape[2:])
+
+    out = jax.tree.map(fold, trs)
+    ep_ids = jnp.repeat(jnp.arange(num_episodes, dtype=jnp.int32), episode_len)
+    out["ep_ids"] = ep_ids
+    return out
+
+
+def filter_successful(transitions: Dict, episode_len: int = 100) -> Dict:
+    """Keep only episodes whose max success flag is 1 (host-side)."""
+    t = jax.device_get(transitions)
+    succ = t["success"].reshape(-1, episode_len)
+    keep = succ.max(axis=1) > 0.5
+    idx = np.repeat(keep, episode_len)
+    out = {k: v[idx] for k, v in t.items()}
+    # renumber episodes
+    n_keep = int(keep.sum())
+    out["ep_ids"] = np.repeat(np.arange(n_keep, dtype=np.int32), episode_len)
+    return out
+
+
+def save_demos(transitions: Dict, path: str):
+    with open(path, "wb") as f:
+        pickle.dump(jax.device_get(transitions), f)
+
+
+def load_demos(path: str) -> Dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def demos_to_buffer(rb, transitions: Dict):
+    """Bulk-load demo transitions into a fresh buffer state."""
+    tr = dict(transitions)
+    tr.pop("success", None)
+    state = rb.init_state()
+    return rb.load_transitions(state, tr)
