@@ -37,11 +37,22 @@ def dumps(tree: Any) -> bytes:
     buf.write(skel_bytes)
     for arr in arrays:
         arr = np.ascontiguousarray(arr)
-        hdr = pickle.dumps((arr.dtype.str, arr.shape))
+        # dtype.name survives ml_dtypes types (bfloat16 etc.); dtype.str
+        # degrades them to raw void bytes
+        hdr = pickle.dumps((arr.dtype.name, arr.shape))
         buf.write(_U32.pack(len(hdr)))
         buf.write(hdr)
         buf.write(arr.tobytes())
     return buf.getvalue()
+
+
+def _resolve_dtype(name: str) -> np.dtype:
+    try:
+        return np.dtype(name)
+    except TypeError:
+        import ml_dtypes
+
+        return np.dtype(getattr(ml_dtypes, name))
 
 
 def loads(data: bytes) -> Any:
@@ -56,9 +67,9 @@ def loads(data: bytes) -> Any:
         if item is None:
             (hdr_len,) = _U32.unpack_from(mv, off)
             off += 4
-            dtype_str, shape = pickle.loads(bytes(mv[off : off + hdr_len]))
+            dtype_name, shape = pickle.loads(bytes(mv[off : off + hdr_len]))
             off += hdr_len
-            dtype = np.dtype(dtype_str)
+            dtype = _resolve_dtype(dtype_name)
             nbytes = int(dtype.itemsize * np.prod(shape)) if shape else dtype.itemsize
             arr = np.frombuffer(mv[off : off + nbytes], dtype=dtype).reshape(shape)
             off += nbytes
