@@ -1,0 +1,237 @@
+"""Config-driven manipulation tasks over the batched engine.
+
+Capability parity: the reference's real-robot task layer
+(`serl_robot_infra/franka_env/envs/franka_env.py` + task subclasses) —
+delta-pose actions with euler-aware safety-box clipping (:167-219), sparse
+reward = pose within per-dim threshold of TARGET_POSE (:221-238), optional
+gripper penalty, randomized resets, per-task configs
+(peg_env/config.py etc.), and the bin-relocation forward/backward dual task
+(`bin_relocation_env/franka_bin_relocation.py:14-157`).
+
+These sim analogues reproduce the *workload shapes* (E3-E6: sparse pose
+rewards, 6-DoF + gripper actions, fwbw task switching) on the batched XLA
+engine so the full training stack can be exercised without hardware; a real
+FrankaEnv HTTP actor can attach at the workload layer instead (SURVEY.md §7
+non-goals).
+"""
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from serl_tpu.envs import panda_pick
+from serl_tpu.envs.panda_pick import EnvState
+from serl_tpu.envs.physics import engine
+from serl_tpu.envs.physics.math3d import quat_from_axis_angle, quat_mul
+from serl_tpu.envs.wrappers import euler_to_quat, quat_to_euler
+
+
+class PoseTaskConfig(NamedTuple):
+    """Mirrors reference DefaultEnvConfig (franka_env.py:43-64)."""
+
+    target_pose: Tuple[float, ...] = (0.4, 0.0, 0.06, 3.14159, 0.0, 0.0)
+    reset_pose: Tuple[float, ...] = (0.4, 0.0, 0.25, 3.14159, 0.0, 0.0)
+    reward_threshold: Tuple[float, ...] = (0.01, 0.01, 0.01, 0.2, 0.2, 0.2)
+    action_scale: Tuple[float, float, float] = (0.02, 0.1, 1.0)  # pos, rot, grip
+    random_xy_range: float = 0.05
+    random_rz_range: float = 0.0
+    enable_rotation: bool = True
+    gripper_penalty: float = 0.0
+    time_limit_steps: int = 100
+    cartesian_lo: Tuple[float, float, float] = (0.2, -0.3, 0.0)
+    cartesian_hi: Tuple[float, float, float] = (0.6, 0.3, 0.5)
+
+
+# canonical task configs (shapes from the reference's peg/pcb/cable configs)
+PEG_INSERT_CONFIG = PoseTaskConfig(
+    target_pose=(0.40, 0.10, 0.045, 3.14159, 0.0, 0.0),
+    reset_pose=(0.40, 0.10, 0.22, 3.14159, 0.0, 0.0),
+    reward_threshold=(0.008, 0.008, 0.008, 0.15, 0.15, 0.3),
+    action_scale=(0.02, 0.05, 1.0),
+    random_xy_range=0.05,
+    gripper_penalty=0.0,
+)
+PCB_INSERT_CONFIG = PoseTaskConfig(
+    target_pose=(0.45, -0.05, 0.035, 3.14159, 0.0, 0.0),
+    reset_pose=(0.45, -0.05, 0.15, 3.14159, 0.0, 0.0),
+    reward_threshold=(0.004, 0.004, 0.004, 0.1, 0.1, 0.2),
+    action_scale=(0.01, 0.03, 1.0),
+    random_xy_range=0.02,
+)
+CABLE_ROUTE_CONFIG = PoseTaskConfig(
+    target_pose=(0.38, 0.15, 0.08, 3.14159, 0.0, 0.5),
+    reset_pose=(0.38, 0.0, 0.20, 3.14159, 0.0, 0.0),
+    reward_threshold=(0.01, 0.01, 0.01, 0.2, 0.2, 0.2),
+    action_scale=(0.02, 0.08, 1.0),
+    random_xy_range=0.04,
+    random_rz_range=0.2,
+)
+
+
+class PandaPoseTaskEnv:
+    """Sparse pose-reaching task: 7-dim action (dx dy dz droll dpitch dyaw
+    grasp), sparse reward at TARGET_POSE, optional gripper penalty.
+
+    Reuses the PandaPickCube physics (incl. the cube, which acts as scene
+    clutter or the grasped object depending on the task)."""
+
+    ACTION_DIM = 7
+
+    def __init__(self, config: PoseTaskConfig = PoseTaskConfig(),
+                 image_obs: bool = False, render_size: int = 128):
+        self.config = config
+        self.image_obs = image_obs
+        self.render_size = render_size
+        self._base = panda_pick.PandaPickCubeEnv(
+            image_obs=image_obs, render_size=render_size
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def reset(self, rng: jnp.ndarray):
+        cfg = self.config
+        rng, k_xy, k_rz, k_next = jax.random.split(rng, 4)
+        state, _ = self._base.reset(rng)
+        # move the mocap to the (randomized) reset pose
+        reset_pose = jnp.asarray(cfg.reset_pose, jnp.float32)
+        dxy = jax.random.uniform(
+            k_xy, (2,), minval=-cfg.random_xy_range, maxval=cfg.random_xy_range
+        )
+        drz = jax.random.uniform(
+            k_rz, (), minval=-cfg.random_rz_range, maxval=cfg.random_rz_range
+        )
+        pos = reset_pose[:3].at[:2].add(dxy)
+        euler = reset_pose[3:].at[2].add(drz)
+        phys = state.physics._replace(
+            mocap_pos=pos, mocap_quat=euler_to_quat(euler)
+        )
+        # let the controller settle at the reset pose (5 control periods)
+        def settle(p, _):
+            return engine.control_step(p), None
+
+        phys, _ = jax.lax.scan(settle, phys, None, length=5)
+        state = state._replace(physics=phys, rng=k_next)
+        return state, self._obs(state)
+
+    def step(self, state: EnvState, action: jnp.ndarray):
+        cfg = self.config
+        action = jnp.clip(action, -1.0, 1.0)
+        dpos = action[:3] * cfg.action_scale[0]
+        npos = jnp.clip(
+            state.physics.mocap_pos + dpos,
+            jnp.asarray(cfg.cartesian_lo),
+            jnp.asarray(cfg.cartesian_hi),
+        )
+        if cfg.enable_rotation:
+            drot = action[3:6] * cfg.action_scale[1]
+            angle = jnp.linalg.norm(drot) + 1e-9
+            dq = quat_from_axis_angle(drot / angle, angle)
+            nquat = quat_mul(dq, state.physics.mocap_quat)
+        else:
+            nquat = state.physics.mocap_quat
+        g = state.physics.grip_ctrl / 255.0
+        ng = jnp.clip(g + action[6] * cfg.action_scale[2], 0.0, 1.0)
+        gripper_moved = jnp.abs(ng - g) > 0.25
+
+        phys = state.physics._replace(
+            mocap_pos=npos, mocap_quat=nquat, grip_ctrl=ng * 255.0
+        )
+        phys = engine.control_step(phys)
+        new_state = state._replace(physics=phys, t=state.t + 1)
+
+        obs = self._obs(new_state)
+        success = self._success(new_state)
+        reward = success - cfg.gripper_penalty * gripper_moved.astype(jnp.float32)
+        done = (new_state.t >= cfg.time_limit_steps).astype(jnp.float32)
+        # early terminate on success like BinaryRewardClassifierWrapper
+        done = jnp.maximum(done, success)
+        return new_state, obs, reward, done, {"success": success}
+
+    # ------------------------------------------------------------------ #
+
+    def _pose(self, state: EnvState) -> jnp.ndarray:
+        from serl_tpu.envs.physics.arm import fk
+        from serl_tpu.envs.physics.math3d import mat_to_quat
+
+        kin = fk(state.physics.qpos)
+        quat = mat_to_quat(kin.pinch_rmat)
+        return jnp.concatenate([kin.pinch_pos, quat_to_euler(quat)])
+
+    def _obs(self, state: EnvState) -> Dict:
+        tcp_pos, tcp_vel, block_pos = engine.observe(state.physics)
+        pose = self._pose(state)
+        obs_state = {
+            "tcp_pose": pose,
+            "tcp_vel": tcp_vel,
+            "gripper_pose": (state.physics.grip_ctrl / 255.0)[None],
+        }
+        if self.image_obs:
+            from serl_tpu.envs.rendering import render_cameras
+
+            front, wrist = render_cameras(state.physics, self.render_size)
+            return {"state": obs_state, "images": {"front": front, "wrist": wrist}}
+        obs_state["block_pos"] = block_pos
+        return {"state": obs_state}
+
+    def _success(self, state: EnvState) -> jnp.ndarray:
+        """Sparse: every pose dim within threshold (franka_env.py:221-238)."""
+        pose = self._pose(state)
+        target = jnp.asarray(self.config.target_pose, jnp.float32)
+        thr = jnp.asarray(self.config.reward_threshold, jnp.float32)
+        err = jnp.abs(pose - target)
+        # wrap angular errors
+        err = err.at[3:].set(jnp.minimum(err[3:], 2 * jnp.pi - err[3:]))
+        return jnp.all(err < thr).astype(jnp.float32)
+
+    def step_auto_reset(self, state: EnvState, action: jnp.ndarray):
+        stepped, obs, reward, done, info = self.step(state, action)
+        rng = state.rng
+        fresh, _ = self.reset(jax.random.fold_in(rng, state.ep_id))
+        fresh = fresh._replace(ep_id=state.ep_id + 1)
+        is_done = done > 0.5
+        new_state = jax.tree.map(lambda a, b: jnp.where(is_done, b, a), stepped, fresh)
+        reset_obs = self._obs(new_state)
+        out_obs = jax.tree.map(lambda t, r: jnp.where(is_done, r, t), obs, reset_obs)
+        info = dict(info)
+        info["final_obs"] = obs
+        return new_state, out_obs, reward, done, info
+
+
+class BinRelocationEnv(PandaPoseTaskEnv):
+    """Forward/backward bin relocation (reference
+    franka_bin_relocation.py:14-157): move the cube between two bins;
+    `task_id` 0 = forward (left->right), 1 = backward. Success = cube inside
+    the target bin region. The fwbw dual-policy workload trains one policy
+    per task and switches on success (E6)."""
+
+    FW_BIN = jnp.asarray([0.45, 0.15])  # target bin center (fw)
+    BW_BIN = jnp.asarray([0.45, -0.15])
+    BIN_HALF = 0.06
+
+    def __init__(self, task_id: int = 0, **kwargs):
+        cfg = PoseTaskConfig(
+            target_pose=(0.45, 0.15 if task_id == 0 else -0.15, 0.1, 3.14159, 0, 0),
+            reset_pose=(0.45, -0.15 if task_id == 0 else 0.15, 0.2, 3.14159, 0, 0),
+            gripper_penalty=0.1,
+        )
+        super().__init__(config=cfg, **kwargs)
+        self.task_id = task_id
+
+    def reset(self, rng: jnp.ndarray):
+        state, obs = super().reset(rng)
+        # place the cube in the source bin
+        src = self.BW_BIN if self.task_id == 0 else self.FW_BIN
+        rng2 = jax.random.fold_in(rng, 99)
+        jitter = jax.random.uniform(rng2, (2,), minval=-0.03, maxval=0.03)
+        phys = state.physics._replace(
+            cube_pos=jnp.concatenate([src + jitter, jnp.asarray([0.02])])
+        )
+        state = state._replace(physics=phys, z_init=jnp.asarray(0.02))
+        return state, self._obs(state)
+
+    def _success(self, state: EnvState) -> jnp.ndarray:
+        tgt = self.FW_BIN if self.task_id == 0 else self.BW_BIN
+        cube = state.physics.cube_pos
+        inside = jnp.all(jnp.abs(cube[:2] - tgt) < self.BIN_HALF) & (cube[2] < 0.05)
+        return inside.astype(jnp.float32)
