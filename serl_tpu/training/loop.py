@@ -222,12 +222,19 @@ def make_fused_loop(env: PandaPickCubeEnv, rb: ReplayBuffer, config: LoopConfig)
     return init_fn, run_chunk
 
 
-def evaluate(env: PandaPickCubeEnv, agent: SACAgent, rng, num_episodes: int = 32):
+def evaluate(env: PandaPickCubeEnv, agent: SACAgent, rng, num_episodes: int = 32,
+             obs_fn=None, pixel_keys=()):
     """Deterministic (argmax) policy evaluation: full episodes in lockstep.
 
     Mirrors `serl_launcher/common/evaluation.py:49-64` semantics (mean return,
-    success) but batched on device.
+    success) but batched on device. `pixel_keys` switches obs processing to
+    the SERL pixel convention.
     """
+    if obs_fn is None:
+        if pixel_keys:
+            obs_fn = lambda o: add_stack_axis(serl_obs(o), pixel_keys)
+        else:
+            obs_fn = flatten_obs
     keys = jax.random.split(rng, num_episodes)
 
     @jax.jit
@@ -236,7 +243,7 @@ def evaluate(env: PandaPickCubeEnv, agent: SACAgent, rng, num_episodes: int = 32
 
         def body(carry, _):
             states, obs, ret, succ = carry
-            actions = agent.sample_actions(flatten_obs(obs), argmax=True)
+            actions = agent.sample_actions(obs_fn(obs), argmax=True)
             states, obs, r, d, info = jax.vmap(env.step)(states, actions)
             ret = ret + r
             succ = jnp.maximum(succ, info["success"])

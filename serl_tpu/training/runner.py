@@ -1,0 +1,105 @@
+"""Host-side driver for fused experiments: chunked device loop + logging +
+periodic eval + checkpoint/resume.
+
+Plays the role of the reference's per-example main() loops
+(async_sac_state_sim.py:171-248 etc.) for the fused single-program mode.
+"""
+
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from serl_tpu.common.logger import Logger
+from serl_tpu.training.loop import evaluate
+from serl_tpu.utils.timer import Timer
+
+
+def run_fused(
+    env,
+    agent,
+    rb,
+    config,
+    init_fn,
+    run_chunk,
+    *,
+    total_env_steps: int = 500_000,
+    chunk_iters: int = 100,
+    eval_period_chunks: int = 5,
+    eval_episodes: int = 32,
+    seed: int = 0,
+    demo_state=None,
+    logger: Optional[Logger] = None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_period_chunks: int = 50,
+    success_stop: Optional[float] = None,
+    obs_fn: Optional[Callable] = None,
+    log_fn: Optional[Callable] = None,
+):
+    logger = logger or Logger(description="fused_run")
+    ckpt = None
+    if checkpoint_dir:
+        from serl_tpu.training.checkpointing import CheckpointManager
+
+        ckpt = CheckpointManager(checkpoint_dir)
+
+    carry = init_fn(agent, jax.random.PRNGKey(seed), demo_state=demo_state)
+    timer = Timer()
+    t0 = time.time()
+    chunk = 0
+    prev = (0.0, 0.0, 0)
+    while int(carry.env_steps) < total_env_steps:
+        with timer.context("run_chunk"):
+            carry, metrics = run_chunk(carry, chunk_iters)
+            jax.block_until_ready(carry.env_steps)
+        chunk += 1
+        m = jax.tree.map(np.asarray, metrics)
+        steps = int(m["env_steps"][-1])
+        eps = int(m["ep_count"][-1]) - prev[2]
+        train_ret = (float(m["ret_sum"][-1]) - prev[0]) / max(1, eps)
+        train_succ = (float(m["succ_sum"][-1]) - prev[1]) / max(1, eps)
+        prev = (float(m["ret_sum"][-1]), float(m["succ_sum"][-1]), int(m["ep_count"][-1]))
+
+        log = {
+            "env_steps": steps,
+            "env_steps_per_s": steps / (time.time() - t0),
+            "train/episode_return": train_ret,
+            "train/success_rate": train_succ,
+            "train/critic_loss": float(m["critic_loss"][-1]),
+            "train/actor_loss": float(m["actor_loss"][-1]),
+            "train/temperature": float(m["temperature"][-1]),
+            "train/entropy": float(m["entropy"][-1]),
+            "buffer_size": int(m["buffer_size"][-1]),
+            "timer": timer.get_average_times(),
+        }
+        if chunk % eval_period_chunks == 0:
+            ev = evaluate(
+                env,
+                carry.agent,
+                jax.random.PRNGKey(10_000 + chunk),
+                num_episodes=eval_episodes,
+                obs_fn=obs_fn,
+                pixel_keys=rb.image_keys,
+            )
+            log.update(ev)
+            print(
+                f"steps {steps} ({log['env_steps_per_s']:.0f}/s) "
+                f"train_succ {train_succ:.2f} eval_succ {ev['eval/success_rate']:.2f} "
+                f"eval_ret {ev['eval/return_mean']:.1f}",
+                flush=True,
+            )
+            if success_stop is not None and ev["eval/success_rate"] >= success_stop:
+                print(f"SOLVED at {steps} env steps ({time.time()-t0:.0f}s)")
+                logger.log(log, step=steps)
+                break
+        if log_fn:
+            log_fn(log, carry)
+        logger.log(log, step=steps)
+        if ckpt and chunk % checkpoint_period_chunks == 0:
+            ckpt.save(steps, {"agent_params": carry.agent.state.params})
+    if ckpt:
+        ckpt.save(int(carry.env_steps), {"agent_params": carry.agent.state.params})
+        ckpt.close()
+    logger.close()
+    return carry
