@@ -73,7 +73,9 @@ def main():
             num_episodes=args.num_demos + 10, pixel_obs=True,
         )
         trs = filter_successful(trs)
-        trs = {k: v[: args.num_demos * 100] for k, v in trs.items()}
+        from serl_tpu.data.demos import take_transitions
+
+        trs = take_transitions(trs, args.num_demos * 100)
         # memory-efficient buffer stores no next_obs
         trs.pop("next_observations", None)
         demo_state = demos_to_buffer(rb, trs)

@@ -75,7 +75,9 @@ def main():
                 num_episodes=args.num_demos + 10,
             )
             trs = filter_successful(trs)
-            trs = {k: v[: args.num_demos * 100] for k, v in trs.items()}
+            from serl_tpu.data.demos import take_transitions
+
+            trs = take_transitions(trs, args.num_demos * 100)
         demo_state = demos_to_buffer(rb, trs)
         print(f"loaded {len(trs['rewards'])} demo transitions")
 

@@ -46,7 +46,9 @@ def main():
     trs = filter_successful(trs)
     n_ok = len(np.unique(trs["ep_ids"]))
     keep = min(n_ok, args.num_demos) * 100
-    trs = {k: v[:keep] for k, v in trs.items()}
+    from serl_tpu.data.demos import take_transitions
+
+    trs = take_transitions(trs, keep)
     save_demos(trs, args.out)
     print(f"saved {keep} transitions ({keep // 100} successful demos) to {args.out}")
 

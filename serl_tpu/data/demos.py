@@ -80,11 +80,16 @@ def filter_successful(transitions: Dict, episode_len: int = 100) -> Dict:
     succ = t["success"].reshape(-1, episode_len)
     keep = succ.max(axis=1) > 0.5
     idx = np.repeat(keep, episode_len)
-    out = {k: v[idx] for k, v in t.items()}
+    out = jax.tree.map(lambda v: v[idx], t)
     # renumber episodes
     n_keep = int(keep.sum())
     out["ep_ids"] = np.repeat(np.arange(n_keep, dtype=np.int32), episode_len)
     return out
+
+
+def take_transitions(transitions: Dict, n: int) -> Dict:
+    """First n transitions of a (possibly nested) transitions pytree."""
+    return jax.tree.map(lambda v: v[:n], transitions)
 
 
 def save_demos(transitions: Dict, path: str):

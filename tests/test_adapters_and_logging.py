@@ -1,0 +1,109 @@
+"""Gym adapter, video recorder, trajectory logging, pose-task env tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def test_gym_adapter_api(tmp_path):
+    gym = pytest.importorskip("gymnasium")
+    import serl_tpu.envs.gym_adapter  # noqa: F401  (registers envs)
+
+    env = gym.make("PandaPickCube-v0")
+    obs, info = env.reset(seed=0)
+    assert "state" in obs
+    assert obs["state"]["panda/tcp_pos"].shape == (3,)
+    total_r = 0.0
+    for t in range(5):
+        obs, r, terminated, truncated, info = env.step(env.action_space.sample())
+        total_r += r
+    assert np.isfinite(total_r)
+    frames = env.unwrapped.render()
+    assert frames[0].shape == (128, 128, 3)
+
+
+def test_video_recorder_and_compose(tmp_path):
+    from serl_tpu.utils.video import VideoRecorder, compose_frames
+
+    frames_a = [np.full((8, 8, 3), i, np.uint8) for i in range(4)]
+    frames_b = [np.full((8, 8, 3), 255 - i, np.uint8) for i in range(4)]
+    composed = compose_frames([frames_a, frames_b])
+    assert composed[0].shape == (8, 16, 3)
+
+    rec = VideoRecorder(str(tmp_path))
+    for f in composed:
+        rec.record(f)
+    path = rec.save("ep0")
+    assert path.endswith(".gif")
+    import os
+
+    assert os.path.getsize(path) > 0
+
+
+def test_trajectory_logger_roundtrip(tmp_path):
+    from serl_tpu.data.trajectory_log import (
+        TrajectoryLogger,
+        load_trajectory_dataset,
+        populate_from_trajectory_log,
+    )
+
+    logger = TrajectoryLogger(str(tmp_path), max_episodes_per_file=2)
+    for ep in range(3):
+        for t in range(5):
+            logger.log_transition(
+                {
+                    "observations": np.full(3, t, np.float32),
+                    "actions": np.zeros(2, np.float32),
+                    "rewards": np.float32(t),
+                    "dones": np.float32(1.0 if t == 4 else 0.0),
+                }
+            )
+    logger.close()
+    episodes = load_trajectory_dataset(str(tmp_path))
+    assert len(episodes) == 3
+    assert episodes[0]["rewards"].shape == (5,)
+    assert episodes[0]["step_type"][0] == 0  # RESTART
+    assert episodes[0]["step_type"][-1] == 2  # TERMINATION
+
+    class ListStore:
+        def __init__(self):
+            self.items = []
+
+        def insert(self, tr):
+            self.items.append(tr)
+
+    store = ListStore()
+    n = populate_from_trajectory_log(store, str(tmp_path))
+    assert n == 15
+
+
+def test_pose_task_sparse_reward_and_success():
+    from serl_tpu.envs.tasks import PEG_INSERT_CONFIG, PandaPoseTaskEnv
+
+    env = PandaPoseTaskEnv(PEG_INSERT_CONFIG)
+    reset = jax.jit(env.reset)
+    step = jax.jit(env.step)
+    s, obs = reset(jax.random.PRNGKey(0))
+    assert obs["state"]["tcp_pose"].shape == (6,)
+    tgt = np.asarray(PEG_INSERT_CONFIG.target_pose)
+    done = 0.0
+    for i in range(60):
+        dpos = np.clip((tgt[:3] - np.asarray(s.physics.mocap_pos)) / 0.02, -1, 1)
+        a = jnp.asarray(np.r_[dpos, 0, 0, 0, 0], jnp.float32)
+        s, obs, r, done, info = step(s, a)
+        if float(done) > 0.5:
+            break
+    assert float(info["success"]) == 1.0
+    assert float(r) == 1.0  # sparse
+
+
+def test_bin_relocation_tasks_differ():
+    from serl_tpu.envs.tasks import BinRelocationEnv
+
+    fw = BinRelocationEnv(task_id=0)
+    bw = BinRelocationEnv(task_id=1)
+    s_fw, _ = jax.jit(fw.reset)(jax.random.PRNGKey(0))
+    s_bw, _ = jax.jit(bw.reset)(jax.random.PRNGKey(0))
+    # cube starts in opposite bins
+    assert float(s_fw.physics.cube_pos[1]) < 0 < float(s_bw.physics.cube_pos[1])
