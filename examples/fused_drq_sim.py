@@ -58,11 +58,7 @@ def main():
 
     demo_state = None
     if args.rlpd:
-        from serl_tpu.data.demos import (
-            collect_episodes,
-            demos_to_buffer,
-            filter_successful,
-        )
+        from serl_tpu.data.demos import collect_episodes, demos_to_buffer
         from serl_tpu.envs.scripted_expert import expert_action
 
         policy = jax.vmap(
@@ -72,14 +68,14 @@ def main():
             env, policy, jax.random.PRNGKey(args.seed + 7),
             num_episodes=args.num_demos + 10, pixel_obs=True,
         )
-        trs = filter_successful(trs)
-        from serl_tpu.data.demos import take_transitions
+        # select successful episodes ON DEVICE (no host image round-trip)
+        from serl_tpu.data.demos import select_demo_episodes
 
-        trs = take_transitions(trs, args.num_demos * 100)
-        # memory-efficient buffer stores no next_obs
-        trs.pop("next_observations", None)
+        trs.pop("next_observations", None)  # memory-efficient buffer
+        trs = select_demo_episodes(trs, args.num_demos)
         demo_state = demos_to_buffer(rb, trs)
-        print(f"loaded {len(trs['rewards'])} pixel demo transitions")
+        print(f"loaded {len(trs['rewards'])} pixel demo transitions "
+              f"(mean success {float(trs['success'].reshape(-1,100).max(1).mean()):.2f})")
 
     logger = Logger(
         project="serl_tpu",

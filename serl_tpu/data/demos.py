@@ -92,6 +92,26 @@ def take_transitions(transitions: Dict, n: int) -> Dict:
     return jax.tree.map(lambda v: v[:n], transitions)
 
 
+def select_demo_episodes(
+    transitions: Dict, num_episodes: int, episode_len: int = 100
+) -> Dict:
+    """Device-side selection of the first `num_episodes` *successful*
+    episodes (falls back to unsuccessful ones if there aren't enough).
+
+    Never copies image data to the host — crucial for pixel demos, where a
+    host round-trip of the frame stacks costs minutes over a TPU tunnel.
+    """
+    succ = transitions["success"].reshape(-1, episode_len).max(axis=1)  # (E,)
+    # stable order: successful episodes first, original order preserved
+    order = jnp.argsort(1.0 - succ, stable=True)[:num_episodes]  # (N,)
+    idx = (order[:, None] * episode_len + jnp.arange(episode_len)[None, :]).reshape(-1)
+    out = jax.tree.map(lambda v: jnp.take(jnp.asarray(v), idx, axis=0), transitions)
+    out["ep_ids"] = jnp.repeat(
+        jnp.arange(num_episodes, dtype=jnp.int32), episode_len
+    )
+    return out
+
+
 def save_demos(transitions: Dict, path: str):
     with open(path, "wb") as f:
         pickle.dump(jax.device_get(transitions), f)
