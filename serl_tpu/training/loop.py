@@ -41,6 +41,11 @@ class LoopConfig(NamedTuple):
     random_steps: int = 1000  # uniform-random action warmup (run_actor.sh)
     buffer_capacity: int = 200_000
     demo_fraction: float = 0.0  # >0 enables 50/50-style RLPD demo mixing
+    # expert interventions (reference SpacemouseIntervention, wrappers.py
+    # :171-221): with this per-step probability the scripted expert overrides
+    # the policy and the *expert's* action is stored (reference behavior of
+    # storing info["intervene_action"], async_drq_randomized.py:177-179)
+    intervention_prob: float = 0.0
 
 
 class LoopCarry(NamedTuple):
@@ -107,6 +112,18 @@ def make_fused_loop(env: PandaPickCubeEnv, rb: ReplayBuffer, config: LoopConfig)
         actions = jnp.where(
             carry.env_steps < config.random_steps, random_actions, policy_actions
         )
+        if config.intervention_prob > 0.0:
+            from serl_tpu.envs.scripted_expert import expert_action
+
+            int_key, noise_key = jax.random.split(act_key)
+            expert_actions = jax.vmap(
+                lambda s: expert_action(s, None, 0.0)
+            )(carry.env_states)
+            intervene = (
+                jax.random.uniform(int_key, (config.num_envs,))
+                < config.intervention_prob
+            )
+            actions = jnp.where(intervene[:, None], expert_actions, actions)
 
         env_states, next_obs_d, rewards, dones, info = jax.vmap(
             env.step_auto_reset

@@ -48,3 +48,22 @@ def test_evaluate_runs():
     out = evaluate(env, agent, jax.random.PRNGKey(0), num_episodes=4)
     assert 0.0 <= out["eval/success_rate"] <= 1.0
     assert np.isfinite(out["eval/return_mean"])
+
+
+def test_fused_loop_with_interventions():
+    from serl_tpu.training.launcher import make_state_sim_experiment
+
+    env, agent, rb, config, init_fn, run_chunk = make_state_sim_experiment(
+        seed=0,
+        num_envs=4,
+        batch_size=8,
+        utd_ratio=2,
+        updates_per_iter=1,
+        training_starts=64,
+        random_steps=0,
+        buffer_capacity=256,
+        intervention_prob=0.5,
+    )
+    carry = init_fn(agent, jax.random.PRNGKey(0))
+    carry, metrics = run_chunk(carry, 4)
+    assert int(carry.env_steps) == 16
