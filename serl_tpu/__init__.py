@@ -1,8 +1,8 @@
 """serl_tpu — a TPU-native actor/learner RL framework.
 
-A from-scratch rebuild of the capabilities of rail-berkeley/serl (sample-efficient
-robotic RL: async actor/learner SAC/DrQ/BC/VICE on Franka manipulation tasks),
-designed TPU-first:
+A from-scratch rebuild of the capabilities of rail-berkeley/serl (sample-
+efficient robotic RL: async actor/learner SAC/DrQ/BC/VICE on Franka
+manipulation tasks), designed TPU-first:
 
   * the learner is a sharded, jit-compiled pure function over explicit param
     groups (no implicit module dicts) — gradients all-reduce through GSPMD,
@@ -13,7 +13,15 @@ designed TPU-first:
     equivalent of the reference's zmq actor/learner split), with an optional
     multi-process mode over a native C++ transport.
 
-Reference layer map: see SURVEY.md (layers L0-L6).
+Reference layer map: SURVEY.md; component parity: PARITY.md.
+
+Public API (lazily importable submodules to keep import cheap):
+    serl_tpu.agents       SACAgent, DrQAgent, BCAgent, VICEAgent
+    serl_tpu.envs         PandaPickCubeEnv, tasks, wrappers, gym adapter
+    serl_tpu.data         ReplayBuffer, Dataset, demos, host buffers
+    serl_tpu.training     fused loop, launcher factories, runner, checkpoints
+    serl_tpu.distributed  mesh/sharding, TrainerServer/Client transport
+    serl_tpu.vision       encoders, augmentations, obs encoding
 """
 
 __version__ = "0.1.0"

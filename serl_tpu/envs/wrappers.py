@@ -85,6 +85,43 @@ def front_camera_obs(obs: Dict, front_key: str = "front") -> Dict:
     return {"state": obs["state"], front_key: obs[front_key]}
 
 
+def gripper_close_action(action6: jnp.ndarray) -> jnp.ndarray:
+    """6-DoF action with the gripper pinned closed (reference GripperCloseEnv,
+    franka_env wrappers.py:147-168)."""
+    return jnp.concatenate([action6, jnp.ones(action6.shape[:-1] + (1,))], axis=-1)
+
+
+def z_only_action(action_z_grip: jnp.ndarray) -> jnp.ndarray:
+    """(dz, grasp) -> full action with xy/rot zeroed (reference ZOnlyWrapper,
+    wrappers.py:105-123)."""
+    dz = action_z_grip[..., :1]
+    grasp = action_z_grip[..., 1:2]
+    zeros = jnp.zeros(action_z_grip.shape[:-1] + (1,))
+    return jnp.concatenate([zeros, zeros, dz, grasp], axis=-1)
+
+
+def unnormalize_action(action, low, high):
+    """[-1, 1] -> [low, high] (reference UnnormalizeActionProprio,
+    norm.py:4-37)."""
+    return 0.5 * (action + 1.0) * (high - low) + low
+
+
+def normalize_proprio(proprio, low, high):
+    return 2.0 * (proprio - low) / (high - low) - 1.0
+
+
+def remap_obs(obs: dict, mapping: dict) -> dict:
+    """Rename/move observation keys (reference RemapWrapper, remap.py:8-35).
+    mapping: new_key -> old_key or (old_key, index)."""
+    out = {}
+    for new_key, src in mapping.items():
+        if isinstance(src, tuple):
+            out[new_key] = obs[src[0]][..., src[1]]
+        else:
+            out[new_key] = obs[src]
+    return out
+
+
 # ------------------- geometric wrappers (robot parity) ------------------- #
 
 

@@ -175,6 +175,39 @@ class DistributionalCriticNet(nn.Module):
         return logits, atoms
 
 
+class ContrastiveCritic(nn.Module):
+    """CRL-style contrastive critic (reference :109-153): separate state-
+    action and goal towers, outer-product logits, optional twin Q."""
+
+    sa_hidden_dims: Sequence[int] = (256, 256)
+    g_hidden_dims: Sequence[int] = (256, 256)
+    repr_dim: int = 16
+    twin_q: bool = True
+    activations: Union[str, Callable] = nn.swish
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray, actions: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
+        enc_dim = features.shape[-1] // 2
+        obs_enc, goal_enc = features[..., :enc_dim], features[..., enc_dim:]
+        sa_in = jnp.concatenate([obs_enc, actions], axis=-1)
+
+        def tower(x, dims, name):
+            h = MLP(hidden_dims=dims, activations=self.activations,
+                    activate_final=True, name=f"{name}_mlp")(x, train=train)
+            return nn.Dense(self.repr_dim, kernel_init=default_init(),
+                            name=f"{name}_proj")(h)
+
+        sa = tower(sa_in, self.sa_hidden_dims, "sa")
+        g = tower(goal_enc, self.g_hidden_dims, "g")
+        outer = jnp.einsum("ik,jk->ij", sa, g)
+        if self.twin_q:
+            sa2 = tower(sa_in, self.sa_hidden_dims, "sa2")
+            g2 = tower(goal_enc, self.g_hidden_dims, "g2")
+            outer = jnp.stack([outer, jnp.einsum("ik,jk->ij", sa2, g2)], axis=-1)
+        return outer
+
+
 def subsample_ensemble(
     key: jax.Array, qs: jnp.ndarray, subsample_size: Optional[int], ensemble_size: int
 ) -> jnp.ndarray:
