@@ -163,8 +163,6 @@ class BCAgent(struct.PyTreeNode):
             image_keys=image_keys,
         )
         if encoder_type == "resnet-pretrained" and image_keys:
-            from serl_tpu.utils.pretrained import load_resnet10_params
-
             agent = _load_bc_pretrained(agent, image_keys)
         return agent
 

@@ -15,9 +15,7 @@ the encoder subtree and receive no gradient (pre_pooling stop-gradient).
 from functools import partial
 from typing import Iterable, Optional, Tuple
 
-import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from serl_tpu.agents.sac import SACAgent
 from serl_tpu.common.typing import Batch, Data, PRNGKey

@@ -28,7 +28,7 @@ momentum keeps decaying into the params, which is what the reference's
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, FrozenSet, NamedTuple, Optional, Tuple
+from typing import FrozenSet, NamedTuple, Optional, Tuple
 
 import chex
 import flax.linen as nn
@@ -36,7 +36,6 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from serl_tpu.common.distributions import Normal, TanhNormal
 from serl_tpu.common.optimizers import make_optimizer, optimizer_lr
 from serl_tpu.common.train_state import TrainState, nonpytree_field
 from serl_tpu.common.typing import Batch, Data, Params, PRNGKey

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import optax
 
 from serl_tpu.agents.drq import DrQAgent, make_image_encoders
-from serl_tpu.agents.sac import SACAgent, SACConfig
+from serl_tpu.agents.sac import SACAgent
 from serl_tpu.common.optimizers import make_optimizer
 from serl_tpu.common.train_state import TrainState, nonpytree_field
 from serl_tpu.common.typing import Batch, Data, Params, PRNGKey

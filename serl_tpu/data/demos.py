@@ -12,7 +12,7 @@ saved/loaded as a pickle for parity with the reference's workflow.
 """
 
 import pickle
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

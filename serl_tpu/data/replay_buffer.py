@@ -24,7 +24,7 @@ along the capacity axis or replicated per data-parallel shard.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ Wire format:
 import io
 import pickle
 import struct
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import numpy as np

@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 
 from serl_tpu.envs.physics import engine
-from serl_tpu.envs.physics import panda_model as pm
 
 # reference constants (panda_pick_gym_env.py:21-23)
 CARTESIAN_BOUNDS = jnp.asarray([[0.2, -0.3, 0.0], [0.6, 0.3, 0.5]], jnp.float32)

@@ -21,7 +21,6 @@ tests/test_physics_arm.py.
 from typing import NamedTuple
 
 import jax.numpy as jnp
-import numpy as np
 
 from serl_tpu.envs.physics import panda_model as pm
 from serl_tpu.envs.physics.math3d import (
@@ -29,7 +28,6 @@ from serl_tpu.envs.physics.math3d import (
     crm,
     f32_precision,
     quat_to_mat,
-    skew,
     spatial_inertia,
 )
 

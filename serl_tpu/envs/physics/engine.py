@@ -36,7 +36,6 @@ from serl_tpu.envs.physics.arm import (
 from serl_tpu.envs.physics.math3d import (
     f32_precision,
     quat_integrate,
-    quat_rotate,
     quat_to_mat,
 )
 from serl_tpu.envs.physics.opspace import opspace_torques

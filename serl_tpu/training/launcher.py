@@ -7,8 +7,6 @@ ensemble 10 / subsample 2, temperature 1e-2, tanh activations + LayerNorm
 256x256, discount 0.99 (state) / 0.96 (pixels), lr 3e-4.
 """
 
-from typing import Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
