@@ -38,6 +38,7 @@ from serl_tpu.envs.physics.math3d import (
     quat_integrate,
     quat_to_mat,
 )
+from serl_tpu.envs.physics.linalg_small import solve3, solve_spd
 from serl_tpu.envs.physics.opspace import opspace_torques
 
 # ---- constants ----
@@ -258,7 +259,7 @@ def substep(state: PhysicsState) -> PhysicsState:
 
     # arm integration with implicit joint damping
     rhs = tau_ctrl + tau_ext - bias - _DAMPING * state.qvel
-    qacc = jnp.linalg.solve(M + DT * jnp.diag(_DAMPING), rhs)
+    qacc = solve_spd(M + DT * jnp.diag(_DAMPING), rhs)
     qvel = state.qvel + DT * qacc
     qpos = state.qpos + DT * qvel
     clamped = jnp.clip(qpos, _JNT_LO, _JNT_HI)
@@ -278,7 +279,7 @@ def substep(state: PhysicsState) -> PhysicsState:
     Rc = quat_to_mat(state.cube_quat)
     I_w = Rc @ jnp.diag(_CUBE_I_DIAG) @ Rc.T
     gyro = jnp.cross(state.cube_angvel, I_w @ state.cube_angvel)
-    angvel = state.cube_angvel + DT * jnp.linalg.solve(I_w, tau_cube - gyro)
+    angvel = state.cube_angvel + DT * solve3(I_w, tau_cube - gyro)
     cube_pos = state.cube_pos + DT * linvel
     cube_quat = quat_integrate(state.cube_quat, angvel, DT)
 

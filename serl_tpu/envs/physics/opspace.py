@@ -12,10 +12,10 @@ joint PD, gravity compensation), re-derived as pure jnp linear algebra:
 """
 
 import jax.numpy as jnp
-from jax.scipy.linalg import cho_factor, cho_solve
 
 from serl_tpu.envs.physics import panda_model as pm
 from serl_tpu.envs.physics.arm import ArmKin, point_jacobian
+from serl_tpu.envs.physics.linalg_small import det_spd, inv_spd, solve_spd_mat
 from serl_tpu.envs.physics.math3d import (
     f32_precision,
     mat_to_quat,
@@ -71,12 +71,11 @@ def opspace_torques(
 
     # task-space inertia: Mx = (J M^-1 J^T)^-1, damped near singularity
     Jfull = jnp.concatenate([Jv, Jw], axis=0)  # (6,7), [v; w] like reference
-    cf = cho_factor(M)
-    Minv_JT = cho_solve(cf, Jfull.T)  # (7,6)
+    Minv_JT = solve_spd_mat(M, Jfull.T)  # (7,6)
     Mx_inv = Jfull @ Minv_JT  # (6,6)
-    det = jnp.linalg.det(Mx_inv)
+    det = det_spd(Mx_inv)
     eps = jnp.where(jnp.abs(det) < 1e-2, 1e-2, 1e-6)
-    Mx = jnp.linalg.inv(Mx_inv + eps * jnp.eye(6))
+    Mx = inv_spd(Mx_inv + eps * jnp.eye(6))
 
     ddx_dw = jnp.concatenate([ddx, dw])
     tau = Jfull.T @ (Mx @ ddx_dw)
