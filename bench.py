@@ -15,6 +15,12 @@ when the `mujoco` package is available; falls back to a recorded value.
 import json
 import time
 
+import jax
+
+# Persistent XLA compilation cache: first-ever compile of the fused system
+# through the TPU tunnel can take minutes; cached recompiles are seconds.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
 MUJOCO_PROXY_FALLBACK = 900.0  # control-steps/s, measured on this host
 
 
