@@ -5,6 +5,7 @@ Plays the role of the reference's per-example main() loops
 (async_sac_state_sim.py:171-248 etc.) for the fused single-program mode.
 """
 
+import os
 import time
 from typing import Callable, Optional
 
@@ -36,15 +37,30 @@ def run_fused(
     success_stop: Optional[float] = None,
     obs_fn: Optional[Callable] = None,
     log_fn: Optional[Callable] = None,
+    pause_file: Optional[str] = None,
+    resume: bool = False,
 ):
+    """`pause_file`/`resume` reproduce the reference PCB example's
+    interactive pause path (async_pcb_insert_drq/async_drq_randomized.py:
+    252-267, 381-397 — pynput pause key → save replay buffer + training state
+    + exit) in a headless-friendly form: touch the pause file (default
+    `<checkpoint_dir>/PAUSE`) and the runner checkpoints the FULL loop carry
+    (agent + optimizers + env states + HBM replay buffer + counters) and
+    exits; `resume=True` restores it exactly and continues."""
     logger = logger or Logger(description="fused_run")
-    ckpt = None
+    ckpt = pause_ckpt = None
     if checkpoint_dir:
         from serl_tpu.training.checkpointing import CheckpointManager
 
         ckpt = CheckpointManager(checkpoint_dir)
+        pause_ckpt = CheckpointManager(os.path.join(checkpoint_dir, "pause"))
+        if pause_file is None:
+            pause_file = os.path.join(checkpoint_dir, "PAUSE")
 
     carry = init_fn(agent, jax.random.PRNGKey(seed), demo_state=demo_state)
+    if resume and pause_ckpt is not None:
+        carry = pause_ckpt.restore(target=carry)
+        print(f"resumed from pause checkpoint at step {int(carry.env_steps)}")
     timer = Timer()
     t0 = time.time()
     chunk = 0
