@@ -49,6 +49,11 @@ class ReplayBufferState(struct.PyTreeNode):
     insert_index: jax.Array
     size: jax.Array
     ep_id: jax.Array
+    # Temporal stride between a row and its successor. Lockstep env loops
+    # insert N rows per control step (one per env), so row i's successor is
+    # i+N, NOT i+1; bulk demo loads are episode-major with stride 1. Stored
+    # per-state so one ReplayBuffer spec can serve both (sample_mixed).
+    stride: jax.Array
 
 
 def _zeros_like_spec(example: Data, capacity: int) -> Data:
@@ -86,12 +91,24 @@ class ReplayBuffer:
 
     # ------------------------------------------------------------------ #
 
-    def init_state(self) -> ReplayBufferState:
+    def init_state(self, stride: int = 1) -> ReplayBufferState:
+        """`stride` = rows inserted per control step (the lockstep env count).
+
+        Successor/frame-stack index arithmetic steps by `stride`; the ring
+        only stays temporally consistent if every insert writes exactly
+        `stride` rows (lockstep loop) or the buffer is write-once (demo
+        load, stride 1)."""
+        if self.capacity % int(stride) != 0:
+            raise ValueError(
+                f"capacity {self.capacity} must be a multiple of stride {stride} "
+                "so ring wraparound preserves the row<->successor offset"
+            )
         return ReplayBufferState(
             data=_zeros_like_spec(self._example, self.capacity),
             insert_index=jnp.zeros((), jnp.int32),
             size=jnp.zeros((), jnp.int32),
             ep_id=jnp.full((self.capacity,), -1, jnp.int32),
+            stride=jnp.asarray(int(stride), jnp.int32),
         )
 
     def insert(
@@ -138,7 +155,7 @@ class ReplayBuffer:
         T = self.num_stack
         # offsets: T-1 ... 0 so time axis is oldest->newest like the reference
         offs = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
-        raw = (idx[:, None] - offs[None, :]) % self.capacity  # (B, T)
+        raw = (idx[:, None] - offs[None, :] * state.stride) % self.capacity  # (B, T)
         anchor_ep = jnp.take(state.ep_id, idx)  # (B,)
         ep = jnp.take(state.ep_id, raw)  # (B, T)
         valid = ep == anchor_ep[:, None]
@@ -160,15 +177,21 @@ class ReplayBuffer:
         self, state: ReplayBufferState, rng: PRNGKey, batch_size: int
     ) -> Batch:
         """Uniform batched gather. With `store_next_obs=False`, next_obs is the
-        successor row; rows whose successor belongs to a different episode are
-        resampled-free: their `masks` make the bootstrap term vanish only if
-        done — to stay faithful we instead avoid sampling the newest row per
-        episode by masking on episode match and falling back to the same row
-        (contributing a (s,a,r,s) pair with next=s only when the episode
-        boundary row is hit, which has probability ~1/episode_len and done=1
-        there in practice)."""
-        max_idx = jnp.maximum(state.size, 1)
-        idx = jax.random.randint(rng, (batch_size,), 0, max_idx)
+        successor row (idx + stride). The newest `stride` rows — whose
+        successors are not written yet — are excluded from sampling; rows
+        whose successor belongs to a different episode (exactly the terminal
+        rows, where masks=0 kills the bootstrap term anyway) fall back to
+        next=s, matching the reference memory-efficient buffer's boundary
+        handling (memory_efficient_replay_buffer.py:126-146)."""
+        if self.store_next_obs:
+            max_idx = jnp.maximum(state.size, 1)
+            idx = jax.random.randint(rng, (batch_size,), 0, max_idx)
+        else:
+            n_valid = jnp.maximum(state.size - state.stride, 1)
+            u = jax.random.randint(rng, (batch_size,), 0, n_valid)
+            # valid window is the `size` most recent rows ending at
+            # insert_index-1; skip the newest `stride` of them
+            idx = (state.insert_index - state.size + u) % self.capacity
 
         batch = self._gather_row(state, idx)
         obs = batch["observations"]
@@ -179,7 +202,7 @@ class ReplayBuffer:
             if isinstance(next_obs, dict):
                 next_obs = self._stack_obs(state, next_obs, idx)
         else:
-            nxt = (idx + 1) % self.capacity
+            nxt = (idx + state.stride) % self.capacity
             same_ep = jnp.take(state.ep_id, nxt) == jnp.take(state.ep_id, idx)
             safe_nxt = jnp.where(same_ep, nxt, idx)
             next_obs = jax.tree.map(
@@ -202,13 +225,27 @@ class ReplayBuffer:
         batch_size: int,
         buffer_b: Optional["ReplayBuffer"] = None,
     ) -> Batch:
-        """50/50 RLPD sampling: half from each buffer, concatenated along the
-        batch axis (reference `concat_batches`, train_utils.py:16-31)."""
+        """50/50 RLPD sampling: half from each buffer (reference
+        `concat_batches`, train_utils.py:16-31).
+
+        Rows are INTERLEAVED (a0, b0, a1, b1, ...) rather than concatenated
+        so that any contiguous minibatch block — `update_high_utd` reshapes
+        the batch into utd_ratio contiguous minibatches — is itself 50/50,
+        matching the reference learner where every individual gradient step
+        samples a fresh half-demo batch (async_drq_sim.py:269-292)."""
         buffer_b = buffer_b or self
         ka, kb = jax.random.split(rng)
         half = batch_size // 2
         a = self.sample(state_a, ka, half)
         b = buffer_b.sample(state_b, kb, batch_size - half)
+        if batch_size % 2 == 0:
+            return jax.tree.map(
+                lambda x, y: jnp.stack([x, y], axis=1).reshape(
+                    (batch_size,) + x.shape[1:]
+                ),
+                a,
+                b,
+            )
         return jax.tree.map(lambda x, y: jnp.concatenate([x, y], axis=0), a, b)
 
     # ------------------------------------------------------------------ #

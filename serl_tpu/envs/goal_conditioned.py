@@ -89,16 +89,27 @@ class GoalConditionedEnv:
             state.inner, action
         )
         if self.reward_fn is not None:
-            reward = self.reward_fn(obs, state.goal)
+            # on done the inner env returns the post-reset obs; the terminal
+            # reward must come from the terminal observation vs the OLD goal
+            is_done_r = done > 0.5
+            terminal_r = self.reward_fn(info["final_obs"], state.goal)
+            live_r = self.reward_fn(obs, state.goal)
+            reward = jnp.where(is_done_r, terminal_r, live_r)
         goal_rng, sample_rng = jax.random.split(state.goal_rng)
         fresh = self._sample_goal(sample_rng, obs)
         is_done = done > 0.5
         goal = jax.tree.map(
             lambda new, old: jnp.where(is_done, new, old), fresh, state.goal
         )
+        info = dict(info)
+        # terminal next_observations must keep the GC pytree structure and
+        # pair the terminal obs with the goal that was active that episode
+        info["final_obs"] = {"observation": info["final_obs"], "goal": state.goal}
+        # the returned obs is the new episode's first obs when done — pair it
+        # with the goal the env now tracks (the freshly drawn one)
         return (
             GCState(inner, goal, goal_rng),
-            {"observation": obs, "goal": state.goal},
+            {"observation": obs, "goal": goal},
             reward,
             done,
             info,
@@ -156,7 +167,18 @@ def load_trajectory_dataset(data_path: str):
                 parts = k.split("/")
                 d = traj
                 for part in parts[:-1]:
-                    d = d.setdefault(part, {})
+                    nxt = d.setdefault(part, {})
+                    if not isinstance(nxt, dict):
+                        raise ValueError(
+                            f"{p}: key '{k}' nests under '{part}', which is "
+                            "already a leaf array — flat npz keys must not be "
+                            "both a leaf and a prefix"
+                        )
+                    d = nxt
+                if isinstance(d.get(parts[-1]), dict):
+                    raise ValueError(
+                        f"{p}: key '{k}' is a leaf but also a prefix of other keys"
+                    )
                 d[parts[-1]] = v
             yield traj
         else:

@@ -61,11 +61,12 @@ class PandaPickCubeEnv:
         )
         return state, self._obs(state)
 
-    def step(
+    def _step_state(
         self, state: EnvState, action: jnp.ndarray
-    ) -> Tuple[EnvState, Dict, jnp.ndarray, jnp.ndarray, Dict]:
-        """Returns (state, obs, reward, done, info). `done` mirrors the
-        reference's `terminated = time_limit_exceeded()` (step:221)."""
+    ) -> Tuple[EnvState, jnp.ndarray, jnp.ndarray, Dict]:
+        """Physics + reward only (no observation): (state, reward, done, info).
+        Splitting obs out lets callers render each frame exactly once — the
+        render is the pixel path's hot op."""
         action = jnp.clip(action, -1.0, 1.0)
         dpos = action[:3] * ACTION_SCALE[0]
         npos = jnp.clip(
@@ -78,11 +79,18 @@ class PandaPickCubeEnv:
         phys = engine.control_step(phys)
         new_state = state._replace(physics=phys, t=state.t + 1)
 
-        obs = self._obs(new_state)
         reward = self._reward(new_state)
         done = new_state.t >= TIME_LIMIT_STEPS
         info = {"success": self._success(new_state)}
-        return new_state, obs, reward, done.astype(jnp.float32), info
+        return new_state, reward, done.astype(jnp.float32), info
+
+    def step(
+        self, state: EnvState, action: jnp.ndarray
+    ) -> Tuple[EnvState, Dict, jnp.ndarray, jnp.ndarray, Dict]:
+        """Returns (state, obs, reward, done, info). `done` mirrors the
+        reference's `terminated = time_limit_exceeded()` (step:221)."""
+        new_state, reward, done, info = self._step_state(state, action)
+        return new_state, self._obs(new_state), reward, done, info
 
     def step_auto_reset(self, state: EnvState, action: jnp.ndarray):
         """Step; on episode end, swap in a freshly reset env (same program).
@@ -90,8 +98,13 @@ class PandaPickCubeEnv:
         Returns (state, obs, reward, done, info) where `obs` is the *reset*
         observation when done (gym autoreset semantics for vector envs); the
         pre-reset terminal observation is returned in info["final_obs"].
+
+        Exactly ONE observation (render) is computed from the post-autoreset
+        state; info["final_obs"] is a second render that XLA dead-code
+        eliminates when the caller doesn't consume it (the memory-efficient
+        pixel buffer never stores next_observations).
         """
-        stepped, obs, reward, done, info = self.step(state, action)
+        stepped, reward, done, info = self._step_state(state, action)
         rng, k_block, k_next = jax.random.split(state.rng, 3)
         xy = jax.random.uniform(
             k_block, (2,), minval=SAMPLING_BOUNDS[0], maxval=SAMPLING_BOUNDS[1]
@@ -106,10 +119,9 @@ class PandaPickCubeEnv:
         )
         is_done = done > 0.5
         new_state = jax.tree.map(lambda a, b: jnp.where(is_done, b, a), stepped, fresh)
-        reset_obs = self._obs(new_state)
-        out_obs = jax.tree.map(lambda t, r: jnp.where(is_done, r, t), obs, reset_obs)
+        out_obs = self._obs(new_state)
         info = dict(info)
-        info["final_obs"] = obs
+        info["final_obs"] = self._obs(stepped)
         return new_state, out_obs, reward, done, info
 
     # ------------------------------------------------------------------ #

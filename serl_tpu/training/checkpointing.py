@@ -26,7 +26,7 @@ class CheckpointManager:
         )
 
     def save(self, step: int, tree: Any, wait: bool = False):
-        self._mngr.save(step, args=ocp.args.StandardSave(_strip(tree)))
+        self._mngr.save(step, args=ocp.args.StandardSave(_flatten_arrays(tree)))
         if wait:
             self._mngr.wait_until_finished()
 
@@ -34,11 +34,12 @@ class CheckpointManager:
         step = step if step is not None else self._mngr.latest_step()
         if step is None:
             raise FileNotFoundError("no checkpoint found")
-        restored = self._mngr.restore(
-            step, args=ocp.args.StandardRestore(_strip(target))
-        )
         if target is None:
-            return restored
+            return self._mngr.restore(step)
+        template = _flatten_arrays(target)
+        restored = self._mngr.restore(
+            step, args=ocp.args.StandardRestore(template)
+        )
         return _graft(target, restored)
 
     def latest_step(self) -> Optional[int]:
@@ -49,16 +50,10 @@ class CheckpointManager:
         self._mngr.close()
 
 
-def _strip(tree):
-    """Remove non-array leaves (callables/None) that orbax can't serialize;
-    structure is re-grafted on restore."""
-    if tree is None:
-        return None
-    return jax.tree.map(
-        lambda x: x if _is_array(x) else None,
-        tree,
-        is_leaf=lambda x: not isinstance(x, (dict, list, tuple)) or x is None,
-    )
+def _key(path) -> str:
+    # '/' can appear in dict keys (e.g. obs key "panda/tcp_pos") and would
+    # nest in orbax's zarr layout — replace it
+    return jax.tree_util.keystr(path).replace("/", "|")
 
 
 def _is_array(x):
@@ -67,14 +62,27 @@ def _is_array(x):
     return isinstance(x, (jax.Array, np.ndarray, int, float)) or hasattr(x, "shape")
 
 
-def _graft(target, restored):
-    """Take arrays from `restored` where present, else keep `target`."""
-    return jax.tree.map(
-        lambda t, r: t if r is None else r,
-        target,
-        restored,
-        is_leaf=lambda x: x is None or not isinstance(x, (dict, list, tuple)),
-    )
+def _flatten_arrays(tree) -> dict:
+    """Pytree -> flat {keystr: array} dict of the array leaves only.
+
+    Works for ANY registered pytree (flax struct.PyTreeNode, NamedTuple,
+    dict, ...) because it uses standard pytree traversal — the round-1 code
+    special-cased dict/list/tuple and silently dropped TrainState /
+    ReplayBufferState subtrees, so "full-carry" checkpoints saved nothing.
+    Non-array leaves (callables, None) are omitted and re-grafted from the
+    restore target."""
+    if tree is None:
+        return {}
+    leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {_key(p): v for p, v in leaves if _is_array(v)}
+
+
+def _graft(target, flat: dict):
+    """Place restored arrays back into `target` by pytree path; leaves absent
+    from the checkpoint keep the target's value."""
+    paths, treedef = jax.tree_util.tree_flatten_with_path(target)
+    vals = [flat.get(_key(p), v) for p, v in paths]
+    return jax.tree_util.tree_unflatten(treedef, vals)
 
 
 def save_agent_checkpoint(path: str, agent, step: int, keep: int = 20):

@@ -16,6 +16,11 @@ from serl_tpu.data.replay_buffer import ReplayBuffer
 from serl_tpu.envs.panda_pick import PandaPickCubeEnv, STATE_OBS_DIM, ACTION_DIM
 
 
+def _round_up(n: int, k: int) -> int:
+    """Smallest multiple of k >= n (ring capacity must divide by env count)."""
+    return ((n + k - 1) // k) * k
+
+
 def make_sac_agent(seed: int, obs_dim: int = STATE_OBS_DIM,
                    action_dim: int = ACTION_DIM, discount: float = 0.99) -> SACAgent:
     """State-based SAC with reference defaults (launcher.py:50-76)."""
@@ -149,6 +154,9 @@ def make_drq_sim_experiment(
     defaults = dict(utd_ratio=4, buffer_capacity=50_000)
     defaults.update(loop_overrides)
     config = LoopConfig(**defaults)
+    config = config._replace(
+        buffer_capacity=_round_up(config.buffer_capacity, config.num_envs)
+    )
     rb = make_pixel_replay_buffer(
         capacity=config.buffer_capacity,
         image_size=image_size,
@@ -171,6 +179,9 @@ def make_state_sim_experiment(seed: int = 0, **loop_overrides):
 
     env = PandaPickCubeEnv()
     config = LoopConfig(**loop_overrides)
+    config = config._replace(
+        buffer_capacity=_round_up(config.buffer_capacity, config.num_envs)
+    )
     rb = make_state_replay_buffer(capacity=config.buffer_capacity)
     agent = make_sac_agent(seed)
     init_fn, run_chunk = make_fused_loop(env, rb, config)

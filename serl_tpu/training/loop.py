@@ -89,7 +89,9 @@ def make_fused_loop(env: PandaPickCubeEnv, rb: ReplayBuffer, config: LoopConfig)
             agent=agent,
             env_states=env_states,
             obs=to_buffer_obs(obs),
-            rb_state=rb.init_state(),
+            # N lockstep envs insert N rows per step: successor rows are
+            # stride=N apart (see ReplayBufferState.stride)
+            rb_state=rb.init_state(stride=config.num_envs),
             demo_state=demo_state,
             rng=rng,
             env_steps=jnp.zeros((), jnp.int32),

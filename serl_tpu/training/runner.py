@@ -58,7 +58,13 @@ def run_fused(
             pause_file = os.path.join(checkpoint_dir, "PAUSE")
 
     carry = init_fn(agent, jax.random.PRNGKey(seed), demo_state=demo_state)
-    if resume and pause_ckpt is not None:
+    if resume:
+        if pause_ckpt is None:
+            raise ValueError("resume=True requires checkpoint_dir")
+        if pause_ckpt.latest_step() is None:
+            raise FileNotFoundError(
+                f"resume=True but no pause checkpoint under {checkpoint_dir}/pause"
+            )
         carry = pause_ckpt.restore(target=carry)
         print(f"resumed from pause checkpoint at step {int(carry.env_steps)}")
     timer = Timer()
@@ -112,6 +118,16 @@ def run_fused(
         if log_fn:
             log_fn(log, carry)
         logger.log(log, step=steps)
+        if pause_file and os.path.exists(pause_file):
+            # PCB pause path: checkpoint the FULL loop carry (agent +
+            # optimizers + env states + HBM replay buffer + counters), then
+            # exit; `resume=True` continues bit-identically.
+            pause_ckpt.save(steps, carry, wait=True)
+            os.remove(pause_file)
+            print(f"PAUSED at {steps} env steps; full carry saved to "
+                  f"{os.path.join(checkpoint_dir, 'pause')}")
+            logger.close()
+            return carry
         if ckpt and chunk % checkpoint_period_chunks == 0:
             ckpt.save(steps, {"agent_params": carry.agent.state.params})
     if ckpt:

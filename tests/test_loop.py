@@ -50,6 +50,87 @@ def test_evaluate_runs():
     assert np.isfinite(out["eval/return_mean"])
 
 
+def test_pause_and_bitexact_resume(tmp_path):
+    """PCB pause path (reference async_pcb_insert_drq:252-267,381-397): touch
+    the pause file -> full carry checkpointed + runner exits; resume=True
+    continues bit-identically vs an uninterrupted run."""
+    import os
+
+    from serl_tpu.training.launcher import make_state_sim_experiment
+    from serl_tpu.training.runner import run_fused
+
+    kwargs = dict(
+        seed=0, num_envs=4, batch_size=8, utd_ratio=2, updates_per_iter=1,
+        training_starts=16, random_steps=8, buffer_capacity=256,
+    )
+
+    # uninterrupted run: 4 chunks x 2 iters = 32 env steps. Chunked exactly
+    # like the runner (scan length changes the compiled program, and float
+    # non-associativity would then mask a real resume bug).
+    env, agent, rb, config, init_fn, run_chunk = make_state_sim_experiment(**kwargs)
+    carry_ref = init_fn(agent, jax.random.PRNGKey(0))
+    for _ in range(4):
+        carry_ref, _ = run_chunk(carry_ref, 2)
+
+    # interrupted run: pause after 2 chunks, then resume for 2 more
+    ckpt_dir = str(tmp_path / "ckpt")
+    pause_file = str(tmp_path / "PAUSE")
+    env, agent, rb, config, init_fn, run_chunk = make_state_sim_experiment(**kwargs)
+
+    state = {"chunks": 0}
+
+    def log_fn(log, carry):
+        state["chunks"] += 1
+        if state["chunks"] == 2 and not os.path.exists(pause_file):
+            open(pause_file, "w").close()
+
+    carry_a = run_fused(
+        env, agent, rb, config, init_fn, run_chunk,
+        total_env_steps=32, chunk_iters=2, seed=0,
+        checkpoint_dir=ckpt_dir, pause_file=pause_file, log_fn=log_fn,
+        eval_period_chunks=1000,
+    )
+    assert int(carry_a.env_steps) == 16  # paused halfway
+    assert not os.path.exists(pause_file)  # consumed
+
+    env, agent, rb, config, init_fn, run_chunk = make_state_sim_experiment(**kwargs)
+    carry_b = run_fused(
+        env, agent, rb, config, init_fn, run_chunk,
+        total_env_steps=32, chunk_iters=2, seed=0,
+        checkpoint_dir=ckpt_dir, pause_file=pause_file, resume=True,
+        eval_period_chunks=1000,
+    )
+    assert int(carry_b.env_steps) == 32
+
+    for name in ("env_steps", "rng", "obs", "ep_return"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(carry_ref, name)), np.asarray(getattr(carry_b, name)),
+            err_msg=f"resume diverged on {name}",
+        )
+    ref_params = jax.tree.leaves(carry_ref.agent.state.params)
+    res_params = jax.tree.leaves(carry_b.agent.state.params)
+    for a, b in zip(ref_params, res_params):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_without_pause_ckpt_raises(tmp_path):
+    import pytest
+
+    from serl_tpu.training.launcher import make_state_sim_experiment
+    from serl_tpu.training.runner import run_fused
+
+    env, agent, rb, config, init_fn, run_chunk = make_state_sim_experiment(
+        seed=0, num_envs=2, batch_size=4, utd_ratio=2, updates_per_iter=1,
+        training_starts=64, random_steps=8, buffer_capacity=64,
+    )
+    with pytest.raises(FileNotFoundError):
+        run_fused(
+            env, agent, rb, config, init_fn, run_chunk,
+            total_env_steps=4, chunk_iters=2, seed=0,
+            checkpoint_dir=str(tmp_path / "c"), resume=True,
+        )
+
+
 def test_fused_loop_with_interventions():
     from serl_tpu.training.launcher import make_state_sim_experiment
 

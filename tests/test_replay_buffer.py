@@ -120,6 +120,79 @@ def test_framestack_does_not_cross_episodes():
         assert all(row[i] <= row[i + 1] for i in range(len(row) - 1))
 
 
+def test_memory_efficient_next_obs_lockstep_envs():
+    """REGRESSION (round-1 DrQ killer): N lockstep envs insert N interleaved
+    rows per control step, so row i's successor is i+N. With stride=N the
+    sampled next_obs must be the same env's next-step obs, never another
+    env's frame and never a fallback to obs itself (except terminals)."""
+    N, T = 4, 10
+    rb = ReplayBuffer(flat_example(), capacity=80, store_next_obs=False)
+    state = rb.init_state(stride=N)
+    for t in range(T):
+        batch = {
+            # obs encodes (env_id, t): obs[e] = [e, t, 0]
+            "observations": jnp.stack(
+                [jnp.asarray([float(e), float(t), 0.0]) for e in range(N)]
+            ),
+            "actions": jnp.zeros((N, 2)),
+            "rewards": jnp.zeros((N,)),
+            "masks": jnp.ones((N,)),
+            "dones": jnp.zeros((N,)),
+        }
+        state = rb.insert(state, batch, ep_ids=jnp.arange(N, dtype=jnp.int32))
+    out = rb.sample(state, jax.random.PRNGKey(7), 256)
+    obs = np.asarray(out["observations"])
+    nxt = np.asarray(out["next_observations"])
+    # same env, one step later — for every sample
+    np.testing.assert_array_equal(obs[:, 0], nxt[:, 0])
+    np.testing.assert_array_equal(obs[:, 1] + 1, nxt[:, 1])
+    # newest rows (no successor yet) must not have been sampled
+    assert obs[:, 1].max() <= T - 2
+
+
+def test_framestack_lockstep_stride():
+    """Frame stacks must step backward by the env-count stride too."""
+    N, T = 3, 6
+    example = {
+        "observations": {
+            "pixels": jnp.zeros((2, 2, 1), jnp.uint8),
+            "state": jnp.zeros((1,)),
+        },
+        "actions": jnp.zeros((2,)),
+        "rewards": jnp.zeros(()),
+        "masks": jnp.zeros(()),
+        "dones": jnp.zeros(()),
+    }
+    rb = ReplayBuffer(
+        example, capacity=60, store_next_obs=False, image_keys=("pixels",),
+        num_stack=2,
+    )
+    state = rb.init_state(stride=N)
+    for t in range(T):
+        batch = {
+            "observations": {
+                # pixel value encodes 10*env + t
+                "pixels": jnp.stack(
+                    [jnp.full((2, 2, 1), 10 * e + t, jnp.uint8) for e in range(N)]
+                ),
+                "state": jnp.zeros((N, 1)),
+            },
+            "actions": jnp.zeros((N, 2)),
+            "rewards": jnp.zeros((N,)),
+            "masks": jnp.ones((N,)),
+            "dones": jnp.zeros((N,)),
+        }
+        state = rb.insert(state, batch, ep_ids=jnp.arange(N, dtype=jnp.int32))
+    out = rb.sample(state, jax.random.PRNGKey(8), 128)
+    px = np.asarray(out["observations"]["pixels"][..., 0, 0, 0])  # (B, T=2)
+    env_of = px // 10
+    t_of = px % 10
+    # both stack frames from the same env; consecutive timesteps (or clamped
+    # at the episode start)
+    np.testing.assert_array_equal(env_of[:, 0], env_of[:, 1])
+    assert (((t_of[:, 1] - t_of[:, 0]) == 1) | (t_of[:, 1] == 0)).all()
+
+
 def test_sample_mixed_half_and_half():
     rb = ReplayBuffer(flat_example(), capacity=20)
     s1, s2 = rb.init_state(), rb.init_state()
@@ -135,7 +208,8 @@ def test_sample_mixed_half_and_half():
     s2 = rb.insert(s2, mk(2.0), jnp.zeros((5,), jnp.int32))
     out = rb.sample_mixed(s1, s2, jax.random.PRNGKey(3), 8)
     r = np.asarray(out["rewards"])
-    assert (r[:4] == 1.0).all() and (r[4:] == 2.0).all()
+    # interleaved so every contiguous even-size minibatch block is 50/50
+    assert (r[0::2] == 1.0).all() and (r[1::2] == 2.0).all()
 
 
 def test_insert_is_jittable_and_scannable():
