@@ -188,5 +188,7 @@ class DrQAgent(SACAgent):
         if encoder_type == "resnet-pretrained":
             from serl_tpu.utils.pretrained import load_resnet10_params
 
-            agent = load_resnet10_params(agent, tuple(image_keys))
+            # the user explicitly asked for pretrained weights: fail loudly
+            # rather than silently training a random frozen encoder
+            agent = load_resnet10_params(agent, tuple(image_keys), strict=True)
         return agent

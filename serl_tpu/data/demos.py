@@ -122,9 +122,10 @@ def load_demos(path: str) -> Dict:
         return pickle.load(f)
 
 
-def demos_to_buffer(rb, transitions: Dict):
-    """Bulk-load demo transitions into a fresh buffer state."""
+def demos_to_buffer(rb, transitions: Dict, episode_len: int = 100):
+    """Bulk-load demo transitions into a fresh buffer state: each demo
+    episode becomes one stream of a full, write-once ring."""
     tr = dict(transitions)
     tr.pop("success", None)
-    state = rb.init_state()
-    return rb.load_transitions(state, tr)
+    ep_ids = tr.pop("ep_ids")
+    return rb.init_from_episodes(tr, ep_ids, episode_len)

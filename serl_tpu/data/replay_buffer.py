@@ -3,23 +3,30 @@
 TPU-first replacement for the reference's host-side numpy buffers
 (`serl_launcher/data/replay_buffer.py`, `memory_efficient_replay_buffer.py`,
 `dataset.py:104-129` — whose jit `sample_jax` gather is the seed of this
-design). The buffer is a pytree of preallocated `(capacity, ...)` arrays that
-lives in device memory:
+design).
 
-  * `insert` scatters a whole lockstep env batch at once
-    (`buf.at[idx].set(x)`); callers should donate the state so XLA updates
-    in place — zero host↔device traffic in the hot loop.
-  * `sample` is a batched `jnp.take` gather.
-  * Frame-stacking is index arithmetic at sample time (idx, idx-1, ...) with
-    episode-boundary masking — replacing the reference's host
-    `sliding_window_view` stride tricks and pack/unpack transfer hack
-    (`memory_efficient_replay_buffer.py:91-164`, `train_utils.py:44-66`),
-    which exist only to halve host->device copies the TPU design doesn't make.
-  * RLPD-style 50/50 demo/online mixing (`train_utils.concat_batches`,
-    `async_drq_sim.py:269-292`) is `sample_mixed` over two buffer states.
+Layout: every array is `(slots, streams, ...)` where `streams` is the number
+of lockstep envs (or demo episodes) and `slots` is the per-stream ring length:
 
-All functions are pure and jit/scan-safe; the state can be sharded over a mesh
-along the capacity axis or replicated per data-parallel shard.
+  * `insert` writes one full slot — a `dynamic_update_slice` at the ring
+    cursor, NOT a scatter. Under a data-parallel mesh with the streams axis
+    sharded, an insert is fully local to each shard (each device owns its
+    envs' rings end to end); the round-1 1-D layout scattered every insert
+    across devices.
+  * temporal structure is explicit: stream `e`'s successor of slot `s` is
+    `(s+1, e)`, and frame stacks gather `(s-k, e)` — the round-1 1-D layout
+    had to encode this with a stride and silently broke when stride
+    assumptions didn't hold (the DrQ-killing next_obs bug).
+  * `sample` is a batched gather over (slot, stream) pairs; frame-stacking is
+    index arithmetic with episode-boundary clamping (replacing the
+    reference's host `sliding_window_view` stride tricks and pack/unpack
+    transfer hack, `memory_efficient_replay_buffer.py:91-164`,
+    `train_utils.py:44-66`).
+  * RLPD 50/50 demo/online mixing (`train_utils.concat_batches`,
+    `async_drq_sim.py:269-292`) is `sample_mixed`, row-interleaved so every
+    contiguous UTD minibatch block is itself 50/50.
+
+All functions are pure and jit/scan-safe.
 """
 
 from __future__ import annotations
@@ -34,31 +41,29 @@ from serl_tpu.common.typing import Batch, Data, PRNGKey
 
 
 class ReplayBufferState(struct.PyTreeNode):
-    """Pytree state of a circular buffer.
+    """Pytree state of a (slots, streams) ring buffer.
 
-    data: dict of (capacity, ...) arrays — keys: observations (possibly a
-        nested dict), actions, rewards, masks, dones [, next_observations].
-    insert_index: next write position.
-    size: number of valid rows (<= capacity).
-    ep_id: per-row episode id, used to mask frame stacks that would cross an
-        episode boundary (replaces `_is_correct_index`,
-        memory_efficient_replay_buffer.py:126-146).
+    data: dict of (slots, streams, ...) arrays — keys: observations (possibly
+        a nested dict), actions, rewards, masks, dones [, next_observations].
+    insert_slot: next slot (ring cursor, shared by all streams — inserts are
+        lockstep full-width rows).
+    size: number of valid slots (<= slots).
+    ep_id: (slots, streams) per-row episode id, used to mask frame stacks /
+        successors that would cross an episode boundary (replaces
+        `_is_correct_index`, memory_efficient_replay_buffer.py:126-146).
     """
 
     data: Batch
-    insert_index: jax.Array
+    insert_slot: jax.Array
     size: jax.Array
     ep_id: jax.Array
-    # Temporal stride between a row and its successor. Lockstep env loops
-    # insert N rows per control step (one per env), so row i's successor is
-    # i+N, NOT i+1; bulk demo loads are episode-major with stride 1. Stored
-    # per-state so one ReplayBuffer spec can serve both (sample_mixed).
-    stride: jax.Array
 
 
-def _zeros_like_spec(example: Data, capacity: int) -> Data:
+def _zeros_like_spec(example: Data, slots: int, streams: int) -> Data:
     return jax.tree.map(
-        lambda x: jnp.zeros((capacity,) + jnp.shape(x), dtype=jnp.asarray(x).dtype),
+        lambda x: jnp.zeros(
+            (slots, streams) + jnp.shape(x), dtype=jnp.asarray(x).dtype
+        ),
         example,
     )
 
@@ -68,8 +73,7 @@ class ReplayBuffer:
 
     `store_next_obs=False` enables the memory-efficient layout: only
     `observations` are stored and `next_observations` are reconstructed at
-    sample time as the row at `idx+1` (valid because transitions are inserted
-    in episode order, like the reference's packed layout).
+    sample time as the next slot of the same stream.
     """
 
     def __init__(
@@ -91,126 +95,171 @@ class ReplayBuffer:
 
     # ------------------------------------------------------------------ #
 
-    def init_state(self, stride: int = 1) -> ReplayBufferState:
-        """`stride` = rows inserted per control step (the lockstep env count).
-
-        Successor/frame-stack index arithmetic steps by `stride`; the ring
-        only stays temporally consistent if every insert writes exactly
-        `stride` rows (lockstep loop) or the buffer is write-once (demo
-        load, stride 1)."""
-        if self.capacity % int(stride) != 0:
+    def init_state(self, streams: int = 1) -> ReplayBufferState:
+        """`streams` = rows inserted per control step (the lockstep env
+        count). Total row capacity is `capacity`, so the per-stream ring has
+        `capacity // streams` slots."""
+        if self.capacity % int(streams) != 0:
             raise ValueError(
-                f"capacity {self.capacity} must be a multiple of stride {stride} "
-                "so ring wraparound preserves the row<->successor offset"
+                f"capacity {self.capacity} must be a multiple of the stream "
+                f"count {streams}"
             )
+        slots = self.capacity // int(streams)
         return ReplayBufferState(
-            data=_zeros_like_spec(self._example, self.capacity),
-            insert_index=jnp.zeros((), jnp.int32),
+            data=_zeros_like_spec(self._example, slots, int(streams)),
+            insert_slot=jnp.zeros((), jnp.int32),
             size=jnp.zeros((), jnp.int32),
-            ep_id=jnp.full((self.capacity,), -1, jnp.int32),
-            stride=jnp.asarray(int(stride), jnp.int32),
+            ep_id=jnp.full((slots, int(streams)), -1, jnp.int32),
+        )
+
+    def init_from_episodes(
+        self, transitions: Batch, ep_ids: jax.Array, episode_len: int
+    ) -> ReplayBufferState:
+        """Build a full, write-once buffer state from flat episode-major
+        transitions (demo ingestion: each episode becomes a stream)."""
+        tr = dict(transitions)
+        if not self.store_next_obs:
+            tr.pop("next_observations", None)
+        n = jax.tree.leaves(tr)[0].shape[0]
+        assert n % episode_len == 0, (n, episode_len)
+        episodes = n // episode_len
+        data = jax.tree.map(
+            lambda x: jnp.swapaxes(
+                jnp.asarray(x).reshape((episodes, episode_len) + x.shape[1:]), 0, 1
+            ),
+            tr,
+        )
+        return ReplayBufferState(
+            data=data,
+            insert_slot=jnp.zeros((), jnp.int32),
+            size=jnp.asarray(episode_len, jnp.int32),
+            ep_id=jnp.swapaxes(
+                jnp.asarray(ep_ids, jnp.int32).reshape(episodes, episode_len), 0, 1
+            ),
         )
 
     def insert(
         self, state: ReplayBufferState, transitions: Batch, ep_ids: jax.Array
     ) -> ReplayBufferState:
-        """Scatter a batch of N transitions (one per env) into the ring.
+        """Write one lockstep slot: `transitions` leaves are (streams, ...).
 
-        `ep_ids`: (N,) int32 episode identifiers (e.g. env_index * BIG +
-        episode_count) so frame stacking can detect boundaries.
-        """
+        `ep_ids`: (streams,) int32 episode identifiers (e.g. env_index +
+        episode_count * num_envs) so frame stacking / successor lookup can
+        detect boundaries. A dynamic_update_slice at the ring cursor — local
+        per stream shard, donation-friendly."""
         tr = dict(transitions)
         if not self.store_next_obs:
             tr.pop("next_observations", None)
-        n = ep_ids.shape[0]
-        idx = (state.insert_index + jnp.arange(n, dtype=jnp.int32)) % self.capacity
+        slot = state.insert_slot
+        slots = state.ep_id.shape[0]
         new_data = jax.tree.map(
-            lambda buf, x: buf.at[idx].set(x), state.data, tr
+            lambda buf, x: jax.lax.dynamic_update_index_in_dim(
+                buf, x.astype(buf.dtype), slot, axis=0
+            ),
+            state.data,
+            tr,
         )
         return state.replace(
             data=new_data,
-            insert_index=(state.insert_index + n) % self.capacity,
-            size=jnp.minimum(state.size + n, self.capacity),
-            ep_id=state.ep_id.at[idx].set(ep_ids),
+            insert_slot=(slot + 1) % slots,
+            size=jnp.minimum(state.size + 1, slots),
+            ep_id=jax.lax.dynamic_update_index_in_dim(
+                state.ep_id, ep_ids.astype(jnp.int32), slot, axis=0
+            ),
         )
 
     # ------------------------------------------------------------------ #
 
-    def _gather_row(self, state: ReplayBufferState, idx: jax.Array) -> Batch:
-        return jax.tree.map(lambda buf: jnp.take(buf, idx, axis=0), state.data)
+    def _gather(self, tree: Data, s: jax.Array, e: jax.Array) -> Data:
+        """Rows (s_i, e_i) from (slots, streams, ...) arrays via one flat
+        gather per leaf."""
+
+        def g(buf):
+            flat = buf.reshape((-1,) + buf.shape[2:])
+            return jnp.take(flat, s * buf.shape[1] + e, axis=0)
+
+        return jax.tree.map(g, tree)
 
     def _stack_obs(
-        self, state: ReplayBufferState, obs_tree: Data, idx: jax.Array
+        self,
+        state: ReplayBufferState,
+        obs_tree: Data,
+        s: jax.Array,
+        e: jax.Array,
     ) -> Data:
-        """Attach a (B, T, H, W, C) frame-stack axis to image keys by gathering
-        idx-(T-1)..idx, clamping frames from other episodes to the oldest valid
-        frame (reference behavior: stacks never cross episode boundaries).
+        """Attach a (B, T, H, W, C) frame-stack axis to image keys by
+        gathering slots s-(T-1)..s of the same stream, clamping frames from
+        other episodes to the oldest valid frame (reference behavior: stacks
+        never cross episode boundaries).
 
         The stack axis is ALWAYS present on sampled image keys (even T=1):
-        serl_tpu's convention is an explicit frame-stack axis everywhere, which
-        removes the reference's (T,H,W,C)-vs-(B,H,W,C) rank ambiguity
+        serl_tpu's convention is an explicit frame-stack axis everywhere,
+        which removes the reference's (T,H,W,C)-vs-(B,H,W,C) rank ambiguity
         (encoding.py:41-44)."""
         if not self.image_keys:
             return obs_tree
         T = self.num_stack
-        # offsets: T-1 ... 0 so time axis is oldest->newest like the reference
+        slots = state.ep_id.shape[0]
+        # offsets T-1 ... 0 so the time axis is oldest->newest
         offs = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
-        raw = (idx[:, None] - offs[None, :] * state.stride) % self.capacity  # (B, T)
-        anchor_ep = jnp.take(state.ep_id, idx)  # (B,)
-        ep = jnp.take(state.ep_id, raw)  # (B, T)
+        raw_s = (s[:, None] - offs[None, :]) % slots  # (B, T)
+        anchor_ep = state.ep_id[s, e]  # (B,)
+        ep = state.ep_id[raw_s, e[:, None]]  # (B, T)
         valid = ep == anchor_ep[:, None]
-        # first valid offset per row: replace invalid frames with the oldest
-        # valid one (clamp-to-edge padding of the episode start)
-        # compute, per row, the most recent invalid->valid switch
         first_valid = jnp.argmax(valid.astype(jnp.int32), axis=1)  # (B,)
-        safe = jnp.where(
-            valid, raw, jnp.take_along_axis(raw, first_valid[:, None], axis=1)
+        safe_s = jnp.where(
+            valid, raw_s, jnp.take_along_axis(raw_s, first_valid[:, None], axis=1)
         )  # (B, T)
 
         out = dict(obs_tree)
+        B = s.shape[0]
         for k in self.image_keys:
-            frames = jnp.take(state.data["observations"][k], safe.reshape(-1), axis=0)
-            out[k] = frames.reshape(safe.shape + frames.shape[1:])
+            frames = self._gather(
+                state.data["observations"][k],
+                safe_s.reshape(-1),
+                jnp.repeat(e, T),
+            )
+            out[k] = frames.reshape((B, T) + frames.shape[1:])
         return out
 
     def sample(
         self, state: ReplayBufferState, rng: PRNGKey, batch_size: int
     ) -> Batch:
-        """Uniform batched gather. With `store_next_obs=False`, next_obs is the
-        successor row (idx + stride). The newest `stride` rows — whose
-        successors are not written yet — are excluded from sampling; rows
-        whose successor belongs to a different episode (exactly the terminal
-        rows, where masks=0 kills the bootstrap term anyway) fall back to
-        next=s, matching the reference memory-efficient buffer's boundary
-        handling (memory_efficient_replay_buffer.py:126-146)."""
+        """Uniform batched gather over (slot, stream) pairs. With
+        `store_next_obs=False`, next_obs is the same stream's next slot; the
+        newest slot — whose successor is not written yet — is excluded from
+        sampling, and rows whose successor belongs to a different episode
+        (exactly the terminal rows, where masks=0 kills the bootstrap term)
+        fall back to next=s, matching the reference memory-efficient buffer's
+        boundary handling (memory_efficient_replay_buffer.py:126-146)."""
+        slots, streams = state.ep_id.shape
+        ks, ke = jax.random.split(rng)
         if self.store_next_obs:
-            max_idx = jnp.maximum(state.size, 1)
-            idx = jax.random.randint(rng, (batch_size,), 0, max_idx)
+            n_valid = jnp.maximum(state.size, 1)
+            u = jax.random.randint(ks, (batch_size,), 0, n_valid)
         else:
-            n_valid = jnp.maximum(state.size - state.stride, 1)
-            u = jax.random.randint(rng, (batch_size,), 0, n_valid)
-            # valid window is the `size` most recent rows ending at
-            # insert_index-1; skip the newest `stride` of them
-            idx = (state.insert_index - state.size + u) % self.capacity
+            n_valid = jnp.maximum(state.size - 1, 1)
+            u = jax.random.randint(ks, (batch_size,), 0, n_valid)
+        # the valid window is the `size` most recent slots ending at
+        # insert_slot-1 (ring); oldest-first
+        s = (state.insert_slot - state.size + u) % slots
+        e = jax.random.randint(ke, (batch_size,), 0, streams)
 
-        batch = self._gather_row(state, idx)
+        batch = self._gather(state.data, s, e)
         obs = batch["observations"]
-        obs = self._stack_obs(state, obs, idx) if isinstance(obs, dict) else obs
+        obs = self._stack_obs(state, obs, s, e) if isinstance(obs, dict) else obs
 
         if self.store_next_obs:
             next_obs = batch["next_observations"]
             if isinstance(next_obs, dict):
-                next_obs = self._stack_obs(state, next_obs, idx)
+                next_obs = self._stack_obs(state, next_obs, s, e)
         else:
-            nxt = (idx + state.stride) % self.capacity
-            same_ep = jnp.take(state.ep_id, nxt) == jnp.take(state.ep_id, idx)
-            safe_nxt = jnp.where(same_ep, nxt, idx)
-            next_obs = jax.tree.map(
-                lambda buf: jnp.take(buf, safe_nxt, axis=0),
-                state.data["observations"],
-            )
+            nxt = (s + 1) % slots
+            same_ep = state.ep_id[nxt, e] == state.ep_id[s, e]
+            safe_nxt = jnp.where(same_ep, nxt, s)
+            next_obs = self._gather(state.data["observations"], safe_nxt, e)
             if isinstance(next_obs, dict):
-                next_obs = self._stack_obs(state, next_obs, safe_nxt)
+                next_obs = self._stack_obs(state, next_obs, safe_nxt, e)
 
         out = dict(batch)
         out["observations"] = obs
@@ -253,8 +302,23 @@ class ReplayBuffer:
     def load_transitions(
         self, state: ReplayBufferState, transitions: Batch
     ) -> ReplayBufferState:
-        """Bulk host->device preload (demo trajectories). `transitions` is a
-        pytree of (N, ...) host arrays with an `ep_ids` entry."""
+        """Bulk host->device preload into an existing state: transitions is a
+        pytree of (N, ...) host arrays (+ `ep_ids`), written slot-by-slot in
+        groups of `streams` rows (N must divide evenly)."""
         tr = dict(transitions)
         ep_ids = jnp.asarray(tr.pop("ep_ids"))
-        return self.insert(state, jax.tree.map(jnp.asarray, tr), ep_ids)
+        streams = state.ep_id.shape[1]
+        n = ep_ids.shape[0]
+        assert n % streams == 0, (n, streams)
+        rows = n // streams
+
+        def body(st, x):
+            batch, eps = x
+            return self.insert(st, batch, eps), None
+
+        batches = jax.tree.map(
+            lambda x: jnp.asarray(x).reshape((rows, streams) + x.shape[1:]), tr
+        )
+        eps = ep_ids.reshape(rows, streams)
+        state, _ = jax.lax.scan(body, state, (batches, eps))
+        return state

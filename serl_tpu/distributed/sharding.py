@@ -7,15 +7,19 @@ over zmq, with a scaffolded-but-degenerate `pmap_axis` hook
   * a 1-D `dp` mesh over chips (ICI within a host, DCN across hosts),
   * env batch axis sharded over `dp` — each shard owns num_envs/n lockstep
     envs (physics runs fully local, no collectives),
-  * replay buffer sharded over `dp` along the batch axis of each insert
-    (row blocks interleave per shard; sampling gathers locally then XLA
-    all-gathers the minibatch if needed),
+  * replay buffer sharded over `dp` along the STREAMS axis (axis 1 of the
+    (slots, streams, ...) layout): every insert is a dynamic_update_slice
+    local to the shard that owns those envs' rings — no cross-device
+    scatter (round-1 sharded the 1-D capacity axis, putting every insert
+    through a scatter and every sample through an all-gather),
+  * demo buffer replicated (small, read-only, sampled by every shard),
   * agent params/opt state replicated — GSPMD turns the batch-sharded loss
     gradients into an all-reduce over `dp` automatically (the explicit
     `lax.pmean` of the reference, `common/common.py:213-214`, is not needed).
 
-`shard_carry` annotates a LoopCarry built on one device with NamedShardings;
-under jit the whole fused step then compiles to an SPMD program.
+Shardings are EXPLICIT per LoopCarry field (`carry_shardings`), not inferred
+from divisibility (round-1's heuristic silently sharded any leaf whose
+leading dim happened to divide the mesh).
 """
 
 from typing import Optional
@@ -39,42 +43,60 @@ def batch_sharded(mesh: Mesh, axis: str = "dp") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
-def shard_carry(carry, mesh: Mesh, axis: str = "dp"):
-    """Place a LoopCarry on the mesh: env-batched leaves sharded over `axis`,
-    agent + scalars replicated, replay buffer sharded along capacity."""
+def buffer_sharded(mesh: Mesh, axis: str = "dp") -> NamedSharding:
+    """(slots, streams, ...) buffers: shard the streams axis."""
+    return NamedSharding(mesh, P(None, axis))
+
+
+def carry_shardings(carry, mesh: Mesh, axis: str = "dp"):
+    """A LoopCarry-shaped pytree of NamedShardings, field by field."""
     rep = replicated(mesh)
-    shard0 = batch_sharded(mesh, axis)
+    env = batch_sharded(mesh, axis)
+    buf = buffer_sharded(mesh, axis)
 
-    def place_env_leaf(x):
-        # env-state leaves have a leading num_envs axis
-        if x.ndim >= 1 and x.shape[0] % mesh.shape[axis] == 0:
-            return jax.device_put(x, shard0)
-        return jax.device_put(x, rep)
+    n_shards = mesh.shape[axis]
+    num_envs = jax.tree.leaves(carry.env_states)[0].shape[0]
+    if num_envs % n_shards != 0:
+        raise ValueError(
+            f"num_envs {num_envs} must divide evenly over {n_shards} shards"
+        )
+    streams = carry.rb_state.ep_id.shape[1]
+    if streams % n_shards != 0:
+        raise ValueError(
+            f"buffer streams {streams} must divide evenly over {n_shards} shards"
+        )
 
-    def place_buffer_leaf(x):
-        if x.ndim >= 1 and x.shape[0] % mesh.shape[axis] == 0:
-            return jax.device_put(x, shard0)
-        return jax.device_put(x, rep)
+    def fill(tree, sh):
+        return jax.tree.map(lambda _: sh, tree)
 
-    new_env_states = jax.tree.map(place_env_leaf, carry.env_states)
-    new_obs = jax.device_put(carry.obs, shard0)
-    new_rb = jax.tree.map(place_buffer_leaf, carry.rb_state)
-    new_demo = (
-        None
-        if carry.demo_state is None
-        else jax.tree.map(place_buffer_leaf, carry.demo_state)
-    )
-    new_agent = jax.device_put(carry.agent, rep)
     return carry._replace(
-        agent=new_agent,
-        env_states=new_env_states,
-        obs=new_obs,
-        rb_state=new_rb,
-        demo_state=new_demo,
-        rng=jax.device_put(carry.rng, rep),
-        env_steps=jax.device_put(carry.env_steps, rep),
-        ep_return=jax.device_put(carry.ep_return, shard0),
-        ep_count=jax.device_put(carry.ep_count, rep),
-        ret_sum=jax.device_put(carry.ret_sum, rep),
-        succ_sum=jax.device_put(carry.succ_sum, rep),
+        agent=fill(carry.agent, rep),
+        env_states=fill(carry.env_states, env),
+        obs=fill(carry.obs, env),
+        rb_state=carry.rb_state.replace(
+            data=fill(carry.rb_state.data, buf),
+            insert_slot=rep,
+            size=rep,
+            ep_id=buf,
+        ),
+        demo_state=(
+            None if carry.demo_state is None else fill(carry.demo_state, rep)
+        ),
+        rng=rep,
+        env_steps=rep,
+        ep_return=fill(carry.ep_return, env),
+        ep_count=rep,
+        ret_sum=rep,
+        succ_sum=rep,
+    )
+
+
+def shard_carry(carry, mesh: Mesh, axis: str = "dp"):
+    """Place a LoopCarry on the mesh with the explicit layout above."""
+    shardings = carry_shardings(carry, mesh, axis)
+    return jax.tree.map(
+        lambda x, s: None if x is None else jax.device_put(x, s),
+        carry,
+        shardings,
+        is_leaf=lambda x: x is None,
     )

@@ -89,9 +89,8 @@ def make_fused_loop(env: PandaPickCubeEnv, rb: ReplayBuffer, config: LoopConfig)
             agent=agent,
             env_states=env_states,
             obs=to_buffer_obs(obs),
-            # N lockstep envs insert N rows per step: successor rows are
-            # stride=N apart (see ReplayBufferState.stride)
-            rb_state=rb.init_state(stride=config.num_envs),
+            # each lockstep env owns one stream (ring) in the buffer
+            rb_state=rb.init_state(streams=config.num_envs),
             demo_state=demo_state,
             rng=rng,
             env_steps=jnp.zeros((), jnp.int32),
@@ -195,7 +194,8 @@ def make_fused_loop(env: PandaPickCubeEnv, rb: ReplayBuffer, config: LoopConfig)
             )
             return agent, infos
 
-        can_train = rb_state.size >= jnp.asarray(
+        # rb_state.size counts SLOTS; each slot holds num_envs transitions
+        can_train = rb_state.size * config.num_envs >= jnp.asarray(
             max(config.training_starts, config.batch_size * config.utd_ratio),
             jnp.int32,
         )
@@ -209,7 +209,7 @@ def make_fused_loop(env: PandaPickCubeEnv, rb: ReplayBuffer, config: LoopConfig)
         metrics = {
             "reward_mean": rewards.mean(),
             "env_steps": env_steps,
-            "buffer_size": rb_state.size,
+            "buffer_size": rb_state.size * config.num_envs,  # rows, not slots
             "critic_loss": update_infos["critic"]["critic_loss"],
             "actor_loss": update_infos["actor"]["actor_loss"],
             "temperature": update_infos["actor"]["temperature"],

@@ -22,7 +22,8 @@ def test_fused_loop_runs_and_updates():
     carry = init_fn(agent, jax.random.PRNGKey(0))
     carry, metrics = run_chunk(carry, 6)
     assert int(carry.env_steps) == 48
-    assert int(carry.rb_state.size) == 48
+    assert int(carry.rb_state.size) == 6  # slots; 6 x 8 envs = 48 rows
+    assert int(metrics["buffer_size"][-1]) == 48
     # updates became active once buffer >= batch*utd (32)
     assert int(carry.agent.state.step) > 0
     assert metrics["reward_mean"].shape == (6,)

@@ -1,5 +1,5 @@
-"""On-device replay buffer tests: ring semantics, gather sampling,
-frame-stack reconstruction, RLPD mixing."""
+"""On-device replay buffer tests: (slots, streams) ring semantics, gather
+sampling, successor/frame-stack reconstruction per stream, RLPD mixing."""
 
 import jax
 import jax.numpy as jnp
@@ -19,37 +19,35 @@ def flat_example(obs_dim=3, act_dim=2):
     }
 
 
+def _batch(n, obs=0.0, nxt=0.0, rew=0.0):
+    return {
+        "observations": jnp.full((n, 3), obs, jnp.float32),
+        "actions": jnp.zeros((n, 2)),
+        "next_observations": jnp.full((n, 3), nxt, jnp.float32),
+        "rewards": jnp.full((n,), rew),
+        "masks": jnp.ones((n,)),
+        "dones": jnp.zeros((n,)),
+    }
+
+
 def test_insert_and_wraparound():
-    rb = ReplayBuffer(flat_example(), capacity=10)
-    state = rb.init_state()
-    for i in range(4):  # insert 4 batches of 3 -> 12 rows into capacity 10
-        batch = {
-            "observations": jnp.full((3, 3), i, jnp.float32),
-            "actions": jnp.zeros((3, 2)),
-            "next_observations": jnp.full((3, 3), i + 0.5, jnp.float32),
-            "rewards": jnp.full((3,), float(i)),
-            "masks": jnp.ones((3,)),
-            "dones": jnp.zeros((3,)),
-        }
-        state = rb.insert(state, batch, ep_ids=jnp.full((3,), i, jnp.int32))
-    assert int(state.size) == 10
-    assert int(state.insert_index) == 2
-    # oldest rows (0,1) were overwritten by batch 3
-    np.testing.assert_allclose(state.data["rewards"][0], 3.0)
-    np.testing.assert_allclose(state.data["rewards"][2], 0.0)
+    rb = ReplayBuffer(flat_example(), capacity=9)  # 3 streams x 3 slots
+    state = rb.init_state(streams=3)
+    for i in range(4):  # 4 slots into a 3-slot ring
+        state = rb.insert(state, _batch(3, rew=float(i)),
+                          ep_ids=jnp.full((3,), i, jnp.int32))
+    assert int(state.size) == 3
+    assert int(state.insert_slot) == 1
+    # slot 0 was overwritten by insert 3
+    np.testing.assert_allclose(np.asarray(state.data["rewards"][0]), 3.0)
+    np.testing.assert_allclose(np.asarray(state.data["rewards"][1]), 1.0)
 
 
 def test_sample_shapes_and_validity():
     rb = ReplayBuffer(flat_example(), capacity=100)
-    state = rb.init_state()
-    batch = {
-        "observations": jnp.arange(5 * 3, dtype=jnp.float32).reshape(5, 3),
-        "actions": jnp.zeros((5, 2)),
-        "next_observations": jnp.ones((5, 3)),
-        "rewards": jnp.arange(5, dtype=jnp.float32),
-        "masks": jnp.ones((5,)),
-        "dones": jnp.zeros((5,)),
-    }
+    state = rb.init_state(streams=5)
+    batch = _batch(5)
+    batch["rewards"] = jnp.arange(5, dtype=jnp.float32)
     state = rb.insert(state, batch, ep_ids=jnp.arange(5, dtype=jnp.int32))
     out = rb.sample(state, jax.random.PRNGKey(0), 16)
     assert out["observations"].shape == (16, 3)
@@ -58,27 +56,43 @@ def test_sample_shapes_and_validity():
     assert set(np.asarray(out["rewards"]).tolist()) <= {0.0, 1.0, 2.0, 3.0, 4.0}
 
 
-def test_memory_efficient_next_obs_reconstruction():
-    """store_next_obs=False: next_obs must be the successor row within the
-    same episode."""
+def test_memory_efficient_next_obs_single_stream():
+    """store_next_obs=False: next_obs must be the successor slot of the same
+    stream within the same episode."""
     rb = ReplayBuffer(flat_example(), capacity=50, store_next_obs=False)
-    state = rb.init_state()
-    # one episode of 10 sequential steps from a single env
+    state = rb.init_state(streams=1)
     for t in range(10):
-        batch = {
-            "observations": jnp.full((1, 3), float(t)),
-            "actions": jnp.zeros((1, 2)),
-            "rewards": jnp.zeros((1,)),
-            "masks": jnp.ones((1,)),
-            "dones": jnp.zeros((1,)),
-        }
+        batch = _batch(1, obs=float(t))
         state = rb.insert(state, batch, ep_ids=jnp.zeros((1,), jnp.int32))
     out = rb.sample(state, jax.random.PRNGKey(1), 64)
-    obs_t = out["observations"][:, 0]
-    next_t = out["next_observations"][:, 0]
-    # successor is t+1, except the terminal row which falls back to itself
-    ok = (next_t == obs_t + 1) | ((obs_t == 9) & (next_t == 9))
-    assert bool(ok.all())
+    obs_t = np.asarray(out["observations"][:, 0])
+    next_t = np.asarray(out["next_observations"][:, 0])
+    np.testing.assert_array_equal(next_t, obs_t + 1)
+    # the newest slot has no successor and must never be sampled
+    assert obs_t.max() <= 8
+
+
+def test_memory_efficient_next_obs_lockstep_envs():
+    """REGRESSION (round-1 DrQ killer): N lockstep envs write N rows per
+    control step. The sampled next_obs must be the SAME env's next-step obs,
+    never another env's frame and never a fallback to obs itself (except
+    terminals)."""
+    N, T = 4, 10
+    rb = ReplayBuffer(flat_example(), capacity=80, store_next_obs=False)
+    state = rb.init_state(streams=N)
+    for t in range(T):
+        batch = _batch(N)
+        # obs encodes (env_id, t)
+        batch["observations"] = jnp.stack(
+            [jnp.asarray([float(e), float(t), 0.0]) for e in range(N)]
+        )
+        state = rb.insert(state, batch, ep_ids=jnp.arange(N, dtype=jnp.int32))
+    out = rb.sample(state, jax.random.PRNGKey(7), 256)
+    obs = np.asarray(out["observations"])
+    nxt = np.asarray(out["next_observations"])
+    np.testing.assert_array_equal(obs[:, 0], nxt[:, 0])  # same env
+    np.testing.assert_array_equal(obs[:, 1] + 1, nxt[:, 1])  # next step
+    assert obs[:, 1].max() <= T - 2  # newest slot excluded
 
 
 def test_framestack_does_not_cross_episodes():
@@ -93,9 +107,10 @@ def test_framestack_does_not_cross_episodes():
         "dones": jnp.zeros(()),
     }
     rb = ReplayBuffer(
-        example, capacity=32, store_next_obs=False, image_keys=("pixels",), num_stack=3
+        example, capacity=32, store_next_obs=False, image_keys=("pixels",),
+        num_stack=3,
     )
-    state = rb.init_state()
+    state = rb.init_state(streams=1)
     # two episodes of 4 steps; pixel value = 10*ep + t
     for ep in range(2):
         for t in range(4):
@@ -116,42 +131,11 @@ def test_framestack_does_not_cross_episodes():
     for row in px:
         eps = row // 10
         assert len(set(eps.tolist())) == 1, f"stack crossed episodes: {row}"
-        # within an episode the stack is non-decreasing and ends at the anchor
         assert all(row[i] <= row[i + 1] for i in range(len(row) - 1))
 
 
-def test_memory_efficient_next_obs_lockstep_envs():
-    """REGRESSION (round-1 DrQ killer): N lockstep envs insert N interleaved
-    rows per control step, so row i's successor is i+N. With stride=N the
-    sampled next_obs must be the same env's next-step obs, never another
-    env's frame and never a fallback to obs itself (except terminals)."""
-    N, T = 4, 10
-    rb = ReplayBuffer(flat_example(), capacity=80, store_next_obs=False)
-    state = rb.init_state(stride=N)
-    for t in range(T):
-        batch = {
-            # obs encodes (env_id, t): obs[e] = [e, t, 0]
-            "observations": jnp.stack(
-                [jnp.asarray([float(e), float(t), 0.0]) for e in range(N)]
-            ),
-            "actions": jnp.zeros((N, 2)),
-            "rewards": jnp.zeros((N,)),
-            "masks": jnp.ones((N,)),
-            "dones": jnp.zeros((N,)),
-        }
-        state = rb.insert(state, batch, ep_ids=jnp.arange(N, dtype=jnp.int32))
-    out = rb.sample(state, jax.random.PRNGKey(7), 256)
-    obs = np.asarray(out["observations"])
-    nxt = np.asarray(out["next_observations"])
-    # same env, one step later — for every sample
-    np.testing.assert_array_equal(obs[:, 0], nxt[:, 0])
-    np.testing.assert_array_equal(obs[:, 1] + 1, nxt[:, 1])
-    # newest rows (no successor yet) must not have been sampled
-    assert obs[:, 1].max() <= T - 2
-
-
-def test_framestack_lockstep_stride():
-    """Frame stacks must step backward by the env-count stride too."""
+def test_framestack_lockstep_streams():
+    """Frame stacks must stay within one stream (env)."""
     N, T = 3, 6
     example = {
         "observations": {
@@ -167,11 +151,10 @@ def test_framestack_lockstep_stride():
         example, capacity=60, store_next_obs=False, image_keys=("pixels",),
         num_stack=2,
     )
-    state = rb.init_state(stride=N)
+    state = rb.init_state(streams=N)
     for t in range(T):
         batch = {
             "observations": {
-                # pixel value encodes 10*env + t
                 "pixels": jnp.stack(
                     [jnp.full((2, 2, 1), 10 * e + t, jnp.uint8) for e in range(N)]
                 ),
@@ -184,28 +167,44 @@ def test_framestack_lockstep_stride():
         }
         state = rb.insert(state, batch, ep_ids=jnp.arange(N, dtype=jnp.int32))
     out = rb.sample(state, jax.random.PRNGKey(8), 128)
-    px = np.asarray(out["observations"]["pixels"][..., 0, 0, 0])  # (B, T=2)
+    px = np.asarray(out["observations"]["pixels"][..., 0, 0, 0])  # (B, 2)
     env_of = px // 10
     t_of = px % 10
-    # both stack frames from the same env; consecutive timesteps (or clamped
-    # at the episode start)
     np.testing.assert_array_equal(env_of[:, 0], env_of[:, 1])
     assert (((t_of[:, 1] - t_of[:, 0]) == 1) | (t_of[:, 1] == 0)).all()
 
 
-def test_sample_mixed_half_and_half():
-    rb = ReplayBuffer(flat_example(), capacity=20)
-    s1, s2 = rb.init_state(), rb.init_state()
-    mk = lambda v: {
-        "observations": jnp.zeros((5, 3)),
-        "actions": jnp.zeros((5, 2)),
-        "next_observations": jnp.zeros((5, 3)),
-        "rewards": jnp.full((5,), v),
-        "masks": jnp.ones((5,)),
-        "dones": jnp.zeros((5,)),
+def test_init_from_episodes_demo_ingestion():
+    """Demo episodes become streams of a full write-once ring; successor
+    reconstruction works within each episode."""
+    E, T = 3, 5
+    rb = ReplayBuffer(flat_example(), capacity=E * T, store_next_obs=False)
+    # episode-major flat transitions: obs = [ep, t, 0]
+    obs = np.stack(
+        [[float(ep), float(t), 0.0] for ep in range(E) for t in range(T)]
+    )
+    tr = {
+        "observations": jnp.asarray(obs),
+        "actions": jnp.zeros((E * T, 2)),
+        "rewards": jnp.zeros((E * T,)),
+        "masks": jnp.ones((E * T,)),
+        "dones": jnp.zeros((E * T,)),
     }
-    s1 = rb.insert(s1, mk(1.0), jnp.zeros((5,), jnp.int32))
-    s2 = rb.insert(s2, mk(2.0), jnp.zeros((5,), jnp.int32))
+    ep_ids = jnp.repeat(jnp.arange(E, dtype=jnp.int32), T)
+    state = rb.init_from_episodes(tr, ep_ids, episode_len=T)
+    assert state.data["observations"].shape == (T, E, 3)
+    out = rb.sample(state, jax.random.PRNGKey(4), 128)
+    o = np.asarray(out["observations"])
+    n = np.asarray(out["next_observations"])
+    np.testing.assert_array_equal(o[:, 0], n[:, 0])  # same episode
+    np.testing.assert_array_equal(o[:, 1] + 1, n[:, 1])  # successor step
+
+
+def test_sample_mixed_interleaves():
+    rb = ReplayBuffer(flat_example(), capacity=20)
+    s1, s2 = rb.init_state(streams=5), rb.init_state(streams=5)
+    s1 = rb.insert(s1, _batch(5, rew=1.0), jnp.zeros((5,), jnp.int32))
+    s2 = rb.insert(s2, _batch(5, rew=2.0), jnp.zeros((5,), jnp.int32))
     out = rb.sample_mixed(s1, s2, jax.random.PRNGKey(3), 8)
     r = np.asarray(out["rewards"])
     # interleaved so every contiguous even-size minibatch block is 50/50
@@ -214,18 +213,23 @@ def test_sample_mixed_half_and_half():
 
 def test_insert_is_jittable_and_scannable():
     rb = ReplayBuffer(flat_example(), capacity=64)
-    state = rb.init_state()
+    state = rb.init_state(streams=4)
 
     def body(state, i):
-        batch = {
-            "observations": jnp.zeros((4, 3)) + i,
-            "actions": jnp.zeros((4, 2)),
-            "next_observations": jnp.zeros((4, 3)),
-            "rewards": jnp.zeros((4,)) + i,
-            "masks": jnp.ones((4,)),
-            "dones": jnp.zeros((4,)),
-        }
-        return rb.insert(state, batch, jnp.full((4,), i, jnp.int32)), None
+        batch = _batch(4, rew=0.0)
+        batch["rewards"] = jnp.zeros((4,)) + i
+        return rb.insert(state, batch, jnp.full((4,), jnp.int32(0))), None
 
     state, _ = jax.lax.scan(body, state, jnp.arange(10, dtype=jnp.float32))
-    assert int(state.size) == 40
+    assert int(state.size) == 10
+
+
+def test_load_transitions_bulk():
+    rb = ReplayBuffer(flat_example(), capacity=40)
+    state = rb.init_state(streams=4)
+    tr = _batch(12, rew=7.0)
+    tr["ep_ids"] = jnp.zeros((12,), jnp.int32)
+    state = rb.load_transitions(state, tr)
+    assert int(state.size) == 3  # 12 rows / 4 streams
+    out = rb.sample(state, jax.random.PRNGKey(5), 8)
+    assert (np.asarray(out["rewards"]) == 7.0).all()
