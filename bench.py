@@ -1,9 +1,13 @@
 """Benchmark: fused actor/learner system throughput on PandaPickCube.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-value = env-steps/s of the full fused system (128 lockstep envs + SAC
-updates at UTD 8, batch 256, reference hyperparameters) on one chip.
+Primary value = env-steps/s of the full fused STATE workload (128 lockstep
+envs + SAC updates at UTD 8, batch 256, reference hyperparameters) on one
+chip. Extra keys report the DrQ PIXEL workload (16 envs, 2x128x128 cameras
+rendered in-graph, UTD 4 x2 updates, batch 256) and updates/s for both —
+BASELINE.json's stated metric is env-steps/s AND updates/s for state and
+DrQ.
 
 vs_baseline = ratio against the reference stack's equivalent: the MuJoCo C
 engine stepping the same arena scene (10 substeps per 20 ms control step) on
@@ -49,12 +53,51 @@ def bench_reference_proxy(seconds: float = 3.0) -> float:
         return MUJOCO_PROXY_FALLBACK
 
 
-def bench_fused_system() -> float:
-    import jax
+def _bench_fused(make_experiment, iters: int, **kwargs):
+    """Time `iters` fused iterations; returns (env_steps/s, updates/s).
 
+    The timed quantity is wall-clock between completed host-visible metric
+    fetches — through the remote-TPU tunnel `block_until_ready` does not
+    actually wait for the computation, so each measurement fetches a metric
+    scalar to force completion.
+    """
+    import numpy as np
+
+    env, agent, rb, config, init_fn, run_chunk = make_experiment(**kwargs)
+    carry = init_fn(agent, jax.random.PRNGKey(0))
+    # warmup with the SAME static chunk length as the timed call (num_iters
+    # is static: a different length would recompile), repeated until the
+    # buffer is past the training threshold so updates are ACTIVE during
+    # every timed chunk (timing an update-free chunk would overstate
+    # throughput several-fold).
+    threshold = max(
+        config.training_starts, config.batch_size * config.utd_ratio
+    )
+    while True:
+        carry, m = run_chunk(carry, iters)
+        # forces completion (device->host); block_until_ready does not
+        # actually wait through the remote-TPU tunnel
+        if int(np.asarray(m["buffer_size"][-1])) >= threshold:
+            break
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        carry, m = run_chunk(carry, iters)
+        np.asarray(m["reward_mean"][-1])
+        best = min(best, time.perf_counter() - t0)
+    env_steps_s = iters * config.num_envs / best
+    # gradient steps (critic) per second: updates_per_iter high-UTD calls
+    updates_s = iters * config.updates_per_iter * config.utd_ratio / best
+    return env_steps_s, updates_s
+
+
+def bench_state():
     from serl_tpu.training.launcher import make_state_sim_experiment
 
-    env, agent, rb, config, init_fn, run_chunk = make_state_sim_experiment(
+    return _bench_fused(
+        make_state_sim_experiment,
+        iters=50,
         seed=0,
         num_envs=128,
         updates_per_iter=1,
@@ -63,35 +106,39 @@ def bench_fused_system() -> float:
         random_steps=1000,
         buffer_capacity=100_000,
     )
-    carry = init_fn(agent, jax.random.PRNGKey(0))
-    # warmup with the SAME static chunk length as the timed call (num_iters is
-    # a static argument: a different length would recompile and the timing
-    # would measure XLA compilation, not the system); the warmup call also
-    # fills the buffer past training_starts so updates are active during
-    # timing.
-    iters = 50
-    carry, _ = run_chunk(carry, iters)
-    jax.block_until_ready(carry.env_steps)
 
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        carry, _ = run_chunk(carry, iters)
-        jax.block_until_ready(carry.env_steps)
-        best = min(best, time.perf_counter() - t0)
-    return iters * config.num_envs / best
+
+def bench_pixels():
+    from serl_tpu.training.launcher import make_drq_sim_experiment
+
+    return _bench_fused(
+        make_drq_sim_experiment,
+        iters=25,
+        seed=0,
+        num_envs=16,
+        batch_size=256,
+        utd_ratio=4,
+        updates_per_iter=2,
+        training_starts=0,
+        random_steps=0,
+        buffer_capacity=10_000,
+    )
 
 
 def main():
-    ours = bench_fused_system()
+    state_steps, state_updates = bench_state()
+    pixel_steps, pixel_updates = bench_pixels()
     ref = bench_reference_proxy()
     print(
         json.dumps(
             {
                 "metric": "env_steps_per_s",
-                "value": round(ours, 1),
+                "value": round(state_steps, 1),
                 "unit": "env-steps/s (fused actor+learner, UTD8, 1 chip)",
-                "vs_baseline": round(ours / ref, 2),
+                "vs_baseline": round(state_steps / ref, 2),
+                "state_updates_per_s": round(state_updates, 1),
+                "drq_env_steps_per_s": round(pixel_steps, 1),
+                "drq_updates_per_s": round(pixel_updates, 1),
             }
         )
     )

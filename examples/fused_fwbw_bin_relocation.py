@@ -1,15 +1,15 @@
-"""Forward/backward bin relocation with dual policies.
+"""Forward/backward bin relocation with dual policies — fully fused.
 
 Workload parity: reference `examples/async_bin_relocation_fwbw_drq` (E6):
-two policies (fw, bw) each with their own replay buffer and updates; the
-active task switches when the current task succeeds (task graph), so the
-robot alternates moving the cube between bins without manual resets.
-
-Fused TPU version: both agents live on-device; the env batch runs the fw
-task and the bw task on alternating success, tracked per env.
+two policies (fw, bw), each with its own replay buffer and learner, trained
+while the robot alternates moving the cube between bins. Here both
+agent+buffer pairs and the env batch run in ONE jit program
+(serl_tpu/training/fwbw.py); the reference's sequential task handoff is
+preserved in evaluation (`evaluate_chained`: fw rollout -> physical state
+handed to bw with no reset -> round-trip success).
 
 Example:
-    python examples/fused_fwbw_bin_relocation.py --total_steps 100000
+    python examples/fused_fwbw_bin_relocation.py --total_steps 200000
 """
 
 import argparse
@@ -21,110 +21,97 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from serl_tpu.data.replay_buffer import ReplayBuffer
 from serl_tpu.envs.tasks import BinRelocationEnv
+from serl_tpu.training.fwbw import (
+    FwBwConfig,
+    evaluate_chained,
+    make_fwbw_loop,
+)
 from serl_tpu.training.launcher import make_sac_agent
+
+OBS_DIM = 13  # tcp_pose(6) + tcp_vel(3) + gripper(1) + block_pos(3)
+ACT_DIM = 7
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--num_envs", type=int, default=16)
+    p.add_argument("--envs_per_task", type=int, default=16)
     p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--utd_ratio", type=int, default=4)
-    p.add_argument("--training_starts", type=int, default=500)
-    p.add_argument("--total_steps", type=int, default=100_000)
+    p.add_argument("--training_starts", type=int, default=2000)
+    p.add_argument("--random_steps", type=int, default=2000)
+    p.add_argument("--intervention_prob", type=float, default=0.1)
+    p.add_argument("--total_steps", type=int, default=200_000)
+    p.add_argument("--eval_period", type=int, default=8000)
+    p.add_argument("--log", type=str, default=None)
     args = p.parse_args()
 
     fw_env = BinRelocationEnv(task_id=0)
     bw_env = BinRelocationEnv(task_id=1)
-    obs_dim = 13  # tcp_pose(6) + tcp_vel(3) + gripper(1) + block_pos(3)
-    act_dim = 7
 
-    agents = {
-        "fw": make_sac_agent(args.seed, obs_dim=obs_dim, action_dim=act_dim),
-        "bw": make_sac_agent(args.seed + 1, obs_dim=obs_dim, action_dim=act_dim),
-    }
+    config = FwBwConfig(
+        envs_per_task=args.envs_per_task,
+        batch_size=args.batch_size,
+        utd_ratio=args.utd_ratio,
+        training_starts=args.training_starts,
+        random_steps=args.random_steps,
+        buffer_capacity=(200_000 // args.envs_per_task) * args.envs_per_task,
+        intervention_prob=args.intervention_prob,
+    )
     example = {
-        "observations": jnp.zeros((obs_dim,)),
-        "actions": jnp.zeros((act_dim,)),
-        "next_observations": jnp.zeros((obs_dim,)),
+        "observations": jnp.zeros((OBS_DIM,)),
+        "actions": jnp.zeros((ACT_DIM,)),
+        "next_observations": jnp.zeros((OBS_DIM,)),
         "rewards": jnp.zeros(()),
         "masks": jnp.zeros(()),
         "dones": jnp.zeros(()),
     }
-    rb = ReplayBuffer(example, capacity=100_000)
-    buffers = {"fw": rb.init_state(), "bw": rb.init_state()}
+    rb = ReplayBuffer(example, capacity=config.buffer_capacity)
+    fw_agent = make_sac_agent(args.seed, obs_dim=OBS_DIM, action_dim=ACT_DIM)
+    bw_agent = make_sac_agent(args.seed + 1, obs_dim=OBS_DIM, action_dim=ACT_DIM)
 
-    from serl_tpu.envs.panda_pick import flatten_obs
+    init_fn, run_chunk = make_fwbw_loop(fw_env, bw_env, rb, config)
+    carry = init_fn(fw_agent, bw_agent, jax.random.PRNGKey(args.seed))
 
-    reset_fw = jax.jit(jax.vmap(fw_env.reset))
-    reset_bw = jax.jit(jax.vmap(bw_env.reset))
-    step_fw = jax.jit(jax.vmap(fw_env.step))
-    step_bw = jax.jit(jax.vmap(bw_env.step))
-
-    @jax.jit
-    def update(agent, rb_state, key):
-        batch = rb.sample(rb_state, key, args.batch_size * args.utd_ratio)
-        return agent.update_high_utd(batch, utd_ratio=args.utd_ratio)
-
-    rng = jax.random.PRNGKey(args.seed)
-    rng, k = jax.random.split(rng)
-    keys = jax.random.split(k, args.num_envs)
-    task = "fw"
-    states, obs = reset_fw(keys)
-    obs_flat = flatten_obs(obs)
-    steps = 0
-    switches = 0
+    out = open(args.log, "a") if args.log else sys.stdout
+    chunk = max(args.eval_period // (2 * config.envs_per_task), 1)
     t0 = time.time()
-    while steps < args.total_steps:
-        rng, ka, ks = jax.random.split(rng, 3)
-        if steps < args.training_starts:
-            actions = jax.random.uniform(
-                ka, (args.num_envs, act_dim), minval=-1, maxval=1
+    prev = {"fw": (0, 0.0, 0.0), "bw": (0, 0.0, 0.0)}
+    while int(carry.env_steps) < args.total_steps:
+        carry, m = run_chunk(carry, chunk)
+        steps = int(carry.env_steps)
+        line = f"steps {steps} ({steps/(time.time()-t0):.0f}/s)"
+        for task in ("fw", "bw"):
+            ep = int(m[f"{task}/ep_count"][-1])
+            ret = float(m[f"{task}/ret_sum"][-1])
+            suc = float(m[f"{task}/succ_sum"][-1])
+            p_ep, p_ret, p_suc = prev[task]
+            d_ep = max(ep - p_ep, 1)
+            line += (
+                f" {task}[succ {(suc-p_suc)/d_ep:.2f} ret {(ret-p_ret)/d_ep:.1f}]"
             )
-        else:
-            actions = agents[task].sample_actions(obs_flat, seed=ka)
-        step_fn = step_fw if task == "fw" else step_bw
-        states, obs, rewards, dones, info = step_fn(states, actions)
-        next_flat = flatten_obs(obs)
-        buffers[task] = rb.insert(
-            buffers[task],
-            {
-                "observations": obs_flat,
-                "actions": actions,
-                "next_observations": next_flat,
-                "rewards": rewards,
-                "masks": 1.0 - dones,
-                "dones": dones,
-            },
-            states.ep_id * args.num_envs + jnp.arange(args.num_envs, dtype=jnp.int32),
+            prev[task] = (ep, ret, suc)
+        ev = evaluate_chained(
+            fw_env, bw_env, carry.fw.agent, carry.bw.agent,
+            jax.random.PRNGKey(steps),
         )
-        obs_flat = next_flat
-        steps += args.num_envs
-
-        if int(buffers[task].size) >= max(
-            args.training_starts, args.batch_size * args.utd_ratio
-        ):
-            agents[task], _ = update(agents[task], buffers[task], ks)
-
-        # fwbw task graph: when most envs succeed or episodes end, switch
-        if float(jnp.mean(info["success"])) > 0.5 or bool(jnp.all(dones > 0.5)):
-            switches += 1
-            task = "bw" if task == "fw" else "fw"
-            rng, k = jax.random.split(rng)
-            keys = jax.random.split(k, args.num_envs)
-            states, obs = (reset_bw if task == "bw" else reset_fw)(keys)
-            obs_flat = flatten_obs(obs)
-        if steps % 10_000 < args.num_envs:
+        line += (
+            f" eval_fw {ev['eval/fw_success']:.2f}"
+            f" eval_bw|fw {ev['eval/bw_success_given_fw']:.2f}"
+            f" round_trip {ev['eval/round_trip_success']:.2f}"
+        )
+        print(line, file=out, flush=True)
+        if ev["eval/round_trip_success"] >= 0.8:
             print(
-                f"steps {steps} task {task} switches {switches} "
-                f"({steps/(time.time()-t0):.0f} steps/s)",
+                f"SOLVED (round-trip >= 0.8) at {steps} env steps "
+                f"({time.time()-t0:.0f}s)",
+                file=out,
                 flush=True,
             )
-    print(f"done: {switches} task switches in {steps} steps")
+            break
 
 
 if __name__ == "__main__":

@@ -1,0 +1,140 @@
+"""Peg insertion (sparse reward) with RLPD demos + expert interventions.
+
+Workload parity: reference `examples/async_peg_insert_drq` (E3) — the
+real-robot recipe: sparse pose reward (within per-dim threshold of
+TARGET_POSE), a required demo buffer with 50/50 RLPD sampling, and human
+(spacemouse) interventions whose actions replace the policy's in the stored
+transition (async_drq_randomized.py:177-179). Sim analogue: the scripted
+pose expert plays the human; the task env is PEG_INSERT_CONFIG
+(serl_tpu/envs/tasks.py, shapes from peg_env/config.py).
+
+Example:
+    python examples/fused_peg_insert.py --total_steps 100000
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+from serl_tpu.data import demos as demo_lib
+from serl_tpu.data.replay_buffer import ReplayBuffer
+from serl_tpu.envs.scripted_expert import pose_expert_action
+from serl_tpu.envs.tasks import PEG_INSERT_CONFIG, PandaPoseTaskEnv
+from serl_tpu.training.launcher import make_sac_agent
+from serl_tpu.training.loop import LoopConfig, evaluate, make_fused_loop
+
+OBS_DIM = 13
+ACT_DIM = 7
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_envs", type=int, default=16)
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--utd_ratio", type=int, default=4)
+    p.add_argument("--training_starts", type=int, default=1000)
+    p.add_argument("--random_steps", type=int, default=1000)
+    p.add_argument("--num_demos", type=int, default=20)
+    p.add_argument("--intervention_prob", type=float, default=0.05)
+    p.add_argument("--total_steps", type=int, default=100_000)
+    p.add_argument("--eval_period", type=int, default=8000)
+    p.add_argument("--log", type=str, default=None)
+    args = p.parse_args()
+
+    env = PandaPoseTaskEnv(config=PEG_INSERT_CONFIG)
+    cfg = PEG_INSERT_CONFIG
+    out = open(args.log, "a") if args.log else sys.stdout
+
+    expert = lambda s: pose_expert_action(
+        s, jnp.asarray(cfg.target_pose), jnp.asarray(cfg.action_scale)
+    )
+
+    # ---- demos: scripted-expert episodes, successful ones kept ----
+    demo_state = None
+    if args.num_demos > 0:
+        trans = demo_lib.collect_episodes(
+            env,
+            lambda states, rng: jax.vmap(expert)(states),
+            jax.random.PRNGKey(args.seed + 1000),
+            num_episodes=args.num_demos * 2,
+            episode_len=cfg.time_limit_steps,
+        )
+        trans = demo_lib.select_demo_episodes(
+            trans, args.num_demos, episode_len=cfg.time_limit_steps
+        )
+        succ = float(jnp.mean(trans.pop("success")))
+        ex = {k: jax.tree.map(lambda x: x[0], v) for k, v in trans.items()}
+        demo_rb = ReplayBuffer(ex, capacity=args.num_demos * cfg.time_limit_steps)
+        demo_state = demo_lib.demos_to_buffer(
+            demo_rb, trans, episode_len=cfg.time_limit_steps
+        )
+        print(
+            f"loaded {args.num_demos * cfg.time_limit_steps} demo transitions "
+            f"(mean success {succ:.2f})",
+            file=out,
+            flush=True,
+        )
+
+    config = LoopConfig(
+        num_envs=args.num_envs,
+        batch_size=args.batch_size,
+        utd_ratio=args.utd_ratio,
+        updates_per_iter=1,
+        training_starts=args.training_starts,
+        random_steps=args.random_steps,
+        buffer_capacity=(100_000 // args.num_envs) * args.num_envs,
+        demo_fraction=0.5 if demo_state is not None else 0.0,
+        intervention_prob=args.intervention_prob,
+    )
+    rb = ReplayBuffer(
+        {
+            "observations": jnp.zeros((OBS_DIM,)),
+            "actions": jnp.zeros((ACT_DIM,)),
+            "next_observations": jnp.zeros((OBS_DIM,)),
+            "rewards": jnp.zeros(()),
+            "masks": jnp.zeros(()),
+            "dones": jnp.zeros(()),
+        },
+        capacity=config.buffer_capacity,
+    )
+    agent = make_sac_agent(args.seed, obs_dim=OBS_DIM, action_dim=ACT_DIM)
+    init_fn, run_chunk = make_fused_loop(env, rb, config, expert_fn=expert)
+    carry = init_fn(agent, jax.random.PRNGKey(args.seed), demo_state=demo_state)
+
+    chunk = max(args.eval_period // config.num_envs, 1)
+    t0 = time.time()
+    prev_ep, prev_suc = 0, 0.0
+    while int(carry.env_steps) < args.total_steps:
+        carry, m = run_chunk(carry, chunk)
+        steps = int(carry.env_steps)
+        ep = int(m["ep_count"][-1])
+        suc = float(m["succ_sum"][-1])
+        train_succ = (suc - prev_suc) / max(ep - prev_ep, 1)
+        prev_ep, prev_suc = ep, suc
+        ev = evaluate(env, carry.agent, jax.random.PRNGKey(steps))
+        print(
+            f"steps {steps} ({steps/(time.time()-t0):.0f}/s) "
+            f"train_succ {train_succ:.2f} "
+            f"eval_succ {ev['eval/success_rate']:.2f} "
+            f"eval_ret {ev['eval/return_mean']:.1f}",
+            file=out,
+            flush=True,
+        )
+        if ev["eval/success_rate"] >= 0.9:
+            print(
+                f"SOLVED at {steps} env steps ({time.time()-t0:.0f}s)",
+                file=out,
+                flush=True,
+            )
+            break
+
+
+if __name__ == "__main__":
+    main()

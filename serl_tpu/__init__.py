@@ -25,3 +25,15 @@ Public API (lazily importable submodules to keep import cheap):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Honor JAX_PLATFORMS=cpu even where an accelerator plugin ignores the env
+# var (this environment's `axon` TPU plugin does): pin the platform via the
+# config flag before any backend initializes. Without this, an "actor on
+# CPU" process silently grabs the TPU and deadlocks the learner that owns it
+# (same workaround as tests/conftest.py and __graft_entry__.py).
+if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")

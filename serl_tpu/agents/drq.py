@@ -28,6 +28,8 @@ def make_image_encoders(
 ) -> dict:
     """Encoder registry (reference drq.py:137-186)."""
     if encoder_type == "small":
+        import jax.numpy as jnp
+
         from serl_tpu.vision.encoders import SmallEncoder
 
         return {
@@ -39,11 +41,14 @@ def make_image_encoders(
                 pool_method="avg",
                 bottleneck_dim=256,
                 spatial_block_size=8,
+                compute_dtype=jnp.bfloat16,
                 name=f"encoder_{key}",
             )
             for key in image_keys
         }
     if encoder_type == "resnet":
+        import jax.numpy as jnp
+
         from serl_tpu.vision.encoders import resnetv1_configs
 
         return {
@@ -51,6 +56,7 @@ def make_image_encoders(
                 pooling_method="spatial_learned_embeddings",
                 num_spatial_blocks=8,
                 bottleneck_dim=256,
+                compute_dtype=jnp.bfloat16,
                 name=f"encoder_{key}",
             )
             for key in image_keys

@@ -17,13 +17,14 @@ from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from serl_tpu.envs.physics import engine
 
 # reference constants (panda_pick_gym_env.py:21-23)
-CARTESIAN_BOUNDS = jnp.asarray([[0.2, -0.3, 0.0], [0.6, 0.3, 0.5]], jnp.float32)
-SAMPLING_BOUNDS = jnp.asarray([[0.25, -0.25], [0.55, 0.25]], jnp.float32)
-ACTION_SCALE = jnp.asarray([0.1, 1.0], jnp.float32)
+CARTESIAN_BOUNDS = np.asarray([[0.2, -0.3, 0.0], [0.6, 0.3, 0.5]], np.float32)
+SAMPLING_BOUNDS = np.asarray([[0.25, -0.25], [0.55, 0.25]], np.float32)
+ACTION_SCALE = np.asarray([0.1, 1.0], np.float32)
 TIME_LIMIT_STEPS = 100  # 10 s / 0.02 s  (franka_sim/__init__.py:10-20)
 ACTION_DIM = 4
 STATE_OBS_DIM = 10  # tcp_pos(3) + tcp_vel(3) + gripper(1) + block_pos(3)

@@ -21,28 +21,29 @@ tests/test_physics_arm.py.
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from serl_tpu.envs.physics import panda_model as pm
 from serl_tpu.envs.physics.math3d import (
     crf,
     crm,
     f32_precision,
-    quat_to_mat,
+    quat_to_mat_np,
     spatial_inertia,
 )
 
 NL = pm.NUM_LINKS  # 7
 
 # static model constants as jnp arrays (float32)
-_BODY_POS = jnp.asarray(pm.BODY_POS, jnp.float32)
-_BODY_RMAT = jnp.asarray(quat_to_mat(jnp.asarray(pm.BODY_QUAT)), jnp.float32)
-_BODY_MASS = jnp.asarray(pm.BODY_MASS, jnp.float32)
-_BODY_IPOS = jnp.asarray(pm.BODY_IPOS, jnp.float32)
-_BODY_INERTIA = jnp.asarray(pm.BODY_INERTIA, jnp.float32)
-_ARMATURE = jnp.asarray(pm.JOINT_ARMATURE, jnp.float32)
-_PINCH_POS_L7 = jnp.asarray(pm.PINCH_POS_L7, jnp.float32)
-_PINCH_RMAT_L7 = jnp.asarray(quat_to_mat(jnp.asarray(pm.PINCH_QUAT_L7)), jnp.float32)
-_GRAVITY = jnp.asarray(pm.GRAVITY, jnp.float32)
+_BODY_POS = np.asarray(pm.BODY_POS, np.float32)
+_BODY_RMAT = np.stack([quat_to_mat_np(q) for q in pm.BODY_QUAT])
+_BODY_MASS = np.asarray(pm.BODY_MASS, np.float32)
+_BODY_IPOS = np.asarray(pm.BODY_IPOS, np.float32)
+_BODY_INERTIA = np.asarray(pm.BODY_INERTIA, np.float32)
+_ARMATURE = np.asarray(pm.JOINT_ARMATURE, np.float32)
+_PINCH_POS_L7 = np.asarray(pm.PINCH_POS_L7, np.float32)
+_PINCH_RMAT_L7 = quat_to_mat_np(pm.PINCH_QUAT_L7)
+_GRAVITY = np.asarray(pm.GRAVITY, np.float32)
 
 
 class ArmKin(NamedTuple):

@@ -23,6 +23,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from serl_tpu.envs.physics import gripper as gr
 from serl_tpu.envs.physics import panda_model as pm
@@ -46,14 +47,14 @@ DT = 0.002
 N_SUBSTEPS = 10
 CONTROL_DT = DT * N_SUBSTEPS
 
-_DAMPING = jnp.asarray(pm.JOINT_DAMPING, jnp.float32)
-_JNT_LO = jnp.asarray(pm.JOINT_RANGE[:, 0], jnp.float32)
-_JNT_HI = jnp.asarray(pm.JOINT_RANGE[:, 1], jnp.float32)
-_Q_HOME = jnp.asarray(pm.PANDA_HOME, jnp.float32)
-_GRAVITY = jnp.asarray(pm.GRAVITY, jnp.float32)
+_DAMPING = np.asarray(pm.JOINT_DAMPING, np.float32)
+_JNT_LO = np.asarray(pm.JOINT_RANGE, np.float32)[:, 0]
+_JNT_HI = np.asarray(pm.JOINT_RANGE, np.float32)[:, 1]
+_Q_HOME = np.asarray(pm.PANDA_HOME, np.float32)
+_GRAVITY = np.asarray(pm.GRAVITY, np.float32)
 
 CUBE_MASS = float(pm.BLOCK_MASS)
-CUBE_HALF = jnp.asarray(pm.BLOCK_HALF, jnp.float32)
+CUBE_HALF = np.asarray(pm.BLOCK_HALF, np.float32)
 # solid box inertia: I = m/12 * (b^2 + c^2) per axis
 _CUBE_I_DIAG = (
     CUBE_MASS
@@ -79,14 +80,14 @@ MU_PAD = 0.7
 V_EPS = 0.003  # friction regularization velocity (m/s)
 
 # cube corners in cube frame: (8, 3)
-_CORNERS = jnp.asarray(
+_CORNERS = np.asarray(
     [
         [sx * pm.BLOCK_HALF[0], sy * pm.BLOCK_HALF[1], sz * pm.BLOCK_HALF[2]]
         for sx in (-1, 1)
         for sy in (-1, 1)
         for sz in (-1, 1)
     ],
-    jnp.float32,
+    np.float32,
 )
 
 

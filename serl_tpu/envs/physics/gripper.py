@@ -19,16 +19,17 @@ gripper to one driver DOF `theta` in [0, 0.8]:
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from serl_tpu.envs.physics import panda_model as pm
 
-_Y_POLY = jnp.asarray(pm.PAD_Y_POLY, jnp.float32)
-_Z_POLY = jnp.asarray(pm.PAD_Z_POLY, jnp.float32)
-_DY_POLY = jnp.asarray(
-    [3 * pm.PAD_Y_POLY[0], 2 * pm.PAD_Y_POLY[1], pm.PAD_Y_POLY[2]], jnp.float32
+_Y_POLY = np.asarray(pm.PAD_Y_POLY, np.float32)
+_Z_POLY = np.asarray(pm.PAD_Z_POLY, np.float32)
+_DY_POLY = np.asarray(
+    [3 * pm.PAD_Y_POLY[0], 2 * pm.PAD_Y_POLY[1], pm.PAD_Y_POLY[2]], np.float32
 )
-_DZ_POLY = jnp.asarray(
-    [3 * pm.PAD_Z_POLY[0], 2 * pm.PAD_Z_POLY[1], pm.PAD_Z_POLY[2]], jnp.float32
+_DZ_POLY = np.asarray(
+    [3 * pm.PAD_Z_POLY[0], 2 * pm.PAD_Z_POLY[1], pm.PAD_Z_POLY[2]], np.float32
 )
 
 # two stacked pad boxes per finger (pad1 above pad2); their centers relative

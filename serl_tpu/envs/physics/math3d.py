@@ -11,6 +11,26 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def quat_to_mat_np(q) -> np.ndarray:
+    """Host-side (numpy) quat->rotation for module-level constants: keeps
+    imports free of device ops (a remote-TPU round-trip per op) and safe to
+    trigger inside a trace (lazy imports under jit would otherwise leak
+    tracers into module globals)."""
+    w, x, y, z = np.asarray(q, np.float32)
+    xx, yy, zz = x * x, y * y, z * z
+    wx, wy, wz = w * x, w * y, w * z
+    xy, xz, yz = x * y, x * z, y * z
+    return np.asarray(
+        [
+            [1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)],
+            [2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)],
+            [2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)],
+        ],
+        np.float32,
+    )
 
 
 def f32_precision(fn):

@@ -12,6 +12,7 @@ joint PD, gravity compensation), re-derived as pure jnp linear algebra:
 """
 
 import jax.numpy as jnp
+import numpy as np
 
 from serl_tpu.envs.physics import panda_model as pm
 from serl_tpu.envs.physics.arm import ArmKin, point_jacobian
@@ -24,9 +25,9 @@ from serl_tpu.envs.physics.math3d import (
     quat_to_axis_angle,
 )
 
-_TORQUE_LO = jnp.asarray(pm.TORQUE_LIMIT[:, 0], jnp.float32)
-_TORQUE_HI = jnp.asarray(pm.TORQUE_LIMIT[:, 1], jnp.float32)
-_Q_HOME = jnp.asarray(pm.PANDA_HOME, jnp.float32)
+_TORQUE_LO = np.asarray(pm.TORQUE_LIMIT, np.float32)[:, 0]
+_TORQUE_HI = np.asarray(pm.TORQUE_LIMIT, np.float32)[:, 1]
+_Q_HOME = np.asarray(pm.PANDA_HOME, np.float32)
 
 
 @f32_precision

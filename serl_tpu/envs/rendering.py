@@ -20,12 +20,13 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from serl_tpu.envs.physics import engine
 from serl_tpu.envs.physics import gripper as gr
 from serl_tpu.envs.physics import panda_model as pm
 from serl_tpu.envs.physics.arm import fk
-from serl_tpu.envs.physics.math3d import quat_to_mat
+from serl_tpu.envs.physics.math3d import quat_to_mat, quat_to_mat_np
 
 BIG = 1e9
 
@@ -44,10 +45,10 @@ class Scene(NamedTuple):
     box_col: jnp.ndarray  # (B,3)
 
 
-_LINK_COL = jnp.asarray([0.85, 0.85, 0.87])
-_DARK_COL = jnp.asarray([0.25, 0.25, 0.25])
-_CUBE_COL = jnp.asarray([0.6, 0.3, 0.6])
-_PAD_COL = jnp.asarray([0.2, 0.2, 0.2])
+_LINK_COL = np.asarray([0.85, 0.85, 0.87], np.float32)
+_DARK_COL = np.asarray([0.25, 0.25, 0.25], np.float32)
+_CUBE_COL = np.asarray([0.6, 0.3, 0.6], np.float32)
+_PAD_COL = np.asarray([0.2, 0.2, 0.2], np.float32)
 
 
 def build_scene(state: engine.PhysicsState) -> Scene:
@@ -118,159 +119,211 @@ def build_scene(state: engine.PhysicsState) -> Scene:
     )
 
 
-# ----------------------- ray-primitive intersections ----------------------- #
+# ------------------- ray casting (structure-of-arrays) -------------------- #
+#
+# TPU layout note: every per-ray intermediate is a flat (P,) array (P = H*W
+# rays, a multiple of 8*128 lanes), NEVER (P, 3) or (P, M, 3) — XLA pads the
+# minor dimension to the 128-lane register width, so a trailing xyz dim of 3
+# would inflate HBM traffic and VPU work by ~40x (measured: the (P, M, 3)
+# formulation rendered at 293 env/s; this one is two orders of magnitude
+# faster). Primitives are a static python loop folded into one fused kernel:
+# each computes t + shaded color as (P,) arrays and running-min-merges into
+# the framebuffer components.
 
 
-def _ray_sphere(o, d, c, r):
-    """o,d: (P,3); c: (S,3), r: (S,). Returns t (P,S), normal (P,S,3)."""
-    oc = o[:, None, :] - c[None, :, :]
-    b = jnp.sum(oc * d[:, None, :], -1)
-    cc = jnp.sum(oc * oc, -1) - r[None, :] ** 2
+def _shade(cr, cg, cb, nx, ny, nz):
+    """Lambert with headlight ambient (MJCF: ambient .5, diffuse .4)."""
+    diff = jnp.clip(nx * _LIGHT_DIR[0] + ny * _LIGHT_DIR[1] + nz * _LIGHT_DIR[2], 0.0, 1.0)
+    lit = 0.55 + 0.55 * diff
+    return cr * lit, cg * lit, cb * lit
+
+
+def _merge(best, t, shaded):
+    """Running closest-hit: strict < keeps the first-wins tie behavior of an
+    argmin over [plane, spheres, capsules, boxes]."""
+    t_best, r, g, b = best
+    sr, sg, sb = shaded
+    m = t < t_best
+    return (
+        jnp.where(m, t, t_best),
+        jnp.where(m, sr, r),
+        jnp.where(m, sg, g),
+        jnp.where(m, sb, b),
+    )
+
+
+def _sphere_t_n(ox, oy, oz, dx, dy, dz, cx, cy, cz, r):
+    bx, by, bz = ox - cx, oy - cy, oz - cz
+    b = bx * dx + by * dy + bz * dz
+    cc = bx * bx + by * by + bz * bz - r * r
     disc = b * b - cc
     t = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
     t = jnp.where((disc > 0) & (t > 1e-4), t, BIG)
-    hit = o[:, None, :] + t[..., None] * d[:, None, :]
-    n = (hit - c[None, :, :]) / jnp.maximum(r[None, :, None], 1e-9)
-    return t, n
+    rinv = 1.0 / jnp.maximum(r, 1e-9)
+    nx = (bx + t * dx) * rinv
+    ny = (by + t * dy) * rinv
+    nz = (bz + t * dz) * rinv
+    return t, nx, ny, nz
 
 
-def _ray_capsule(o, d, a, b, r):
-    """Capsule via closest-approach of the ray to the segment, treated as a
-    swept sphere (approximate but silhouette-correct for thin capsules)."""
-    ab = b - a  # (K,3)
-    ab2 = jnp.sum(ab * ab, -1)  # (K,)
+def _render_sphere(best, rays, c, r, col):
+    ox, oy, oz, dx, dy, dz = rays
+    t, nx, ny, nz = _sphere_t_n(ox, oy, oz, dx, dy, dz, c[0], c[1], c[2], r)
+    return _merge(best, t, _shade(col[0], col[1], col[2], nx, ny, nz))
 
-    # iterate: project ray point at current t onto segment, sphere test there
+
+def _render_capsule(best, rays, a, b, r, col):
+    """Swept-sphere approximation: project the current hit estimate onto the
+    segment, sphere-test there; two fixed-point refinements (identical math
+    to the dense formulation it replaces, just componentwise)."""
+    ox, oy, oz, dx, dy, dz = rays
+    abx, aby, abz = b[0] - a[0], b[1] - a[1], b[2] - a[2]
+    ab2 = jnp.maximum(abx * abx + aby * aby + abz * abz, 1e-9)
+
     def sphere_at(s):
-        c = a[None, :, :] + s[..., None] * ab[None, :, :]  # (P,K,3)
-        oc = o[:, None, :] - c
-        bq = jnp.sum(oc * d[:, None, :], -1)
-        cc = jnp.sum(oc * oc, -1) - r[None, :] ** 2
-        disc = bq * bq - cc
-        t = -bq - jnp.sqrt(jnp.maximum(disc, 0.0))
-        t = jnp.where((disc > 0) & (t > 1e-4), t, BIG)
-        return t, c
+        cx = a[0] + s * abx
+        cy = a[1] + s * aby
+        cz = a[2] + s * abz
+        t, nx, ny, nz = _sphere_t_n(ox, oy, oz, dx, dy, dz, cx, cy, cz, r)
+        return t, cx, cy, cz, nx, ny, nz
 
-    # initial guess: closest point of segment to ray origin-line
-    # two fixed-point refinements are enough visually
     s = jnp.clip(
-        jnp.sum((o[:, None, :] - a[None, :, :]) * ab[None, :, :], -1)
-        / jnp.maximum(ab2[None, :], 1e-9),
-        0.0,
-        1.0,
+        ((ox - a[0]) * abx + (oy - a[1]) * aby + (oz - a[2]) * abz) / ab2, 0.0, 1.0
     )
     for _ in range(2):
-        t, c = sphere_at(s)
-        t_safe = jnp.where(t >= BIG, 0.0, t)
-        hitp = o[:, None, :] + t_safe[..., None] * d[:, None, :]
+        t, cx, cy, cz, _, _, _ = sphere_at(s)
+        ts = jnp.where(t >= BIG, 0.0, t)
         s = jnp.clip(
-            jnp.sum((hitp - a[None, :, :]) * ab[None, :, :], -1)
-            / jnp.maximum(ab2[None, :], 1e-9),
+            ((ox + ts * dx - a[0]) * abx
+             + (oy + ts * dy - a[1]) * aby
+             + (oz + ts * dz - a[2]) * abz) / ab2,
             0.0,
             1.0,
         )
-    t, c = sphere_at(s)
-    hit = o[:, None, :] + jnp.where(t >= BIG, 0.0, t)[..., None] * d[:, None, :]
-    n = hit - c
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
-    return t, n
+    t, cx, cy, cz, _, _, _ = sphere_at(s)
+    ts = jnp.where(t >= BIG, 0.0, t)
+    nx = ox + ts * dx - cx
+    ny = oy + ts * dy - cy
+    nz = oz + ts * dz - cz
+    inv = 1.0 / jnp.maximum(jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-9)
+    return _merge(
+        best, t, _shade(col[0], col[1], col[2], nx * inv, ny * inv, nz * inv)
+    )
 
 
-def _ray_box(o, d, c, R, h):
-    """Oriented box slab test. o,d: (P,3); c: (B,3); R: (B,3,3); h: (B,3)."""
-    # to box frame
-    ol = jnp.einsum("bij,pbi->pbj", R, o[:, None, :] - c[None, :, :])
-    dl = jnp.einsum("bij,pbi->pbj", R, jnp.broadcast_to(d[:, None, :], (d.shape[0], c.shape[0], 3)))
-    inv = 1.0 / jnp.where(jnp.abs(dl) < 1e-9, jnp.where(dl >= 0, 1e-9, -1e-9), dl)
-    t1 = (-h[None] - ol) * inv
-    t2 = (h[None] - ol) * inv
-    tmin = jnp.minimum(t1, t2).max(-1)
-    tmax = jnp.maximum(t1, t2).min(-1)
-    hit_ok = (tmax > jnp.maximum(tmin, 1e-4))
+def _render_box(best, rays, c, R, h, col):
+    """Oriented-box slab test, componentwise. R: (3,3) world<-box."""
+    ox, oy, oz, dx, dy, dz = rays
+    wx, wy, wz = ox - c[0], oy - c[1], oz - c[2]
+    tmin = jnp.full_like(dx, -BIG)
+    tmax = jnp.full_like(dx, BIG)
+    # per-axis slab entry values + the (local-frame) ray component, kept for
+    # the entry-face normal selection below
+    entries = []
+    dls = []
+    for k in range(3):
+        ol_k = R[0, k] * wx + R[1, k] * wy + R[2, k] * wz  # scalar
+        dl_k = R[0, k] * dx + R[1, k] * dy + R[2, k] * dz  # (P,)
+        inv = 1.0 / jnp.where(
+            jnp.abs(dl_k) < 1e-9, jnp.where(dl_k >= 0, 1e-9, -1e-9), dl_k
+        )
+        t1 = (-h[k] - ol_k) * inv
+        t2 = (h[k] - ol_k) * inv
+        lo = jnp.minimum(t1, t2)
+        hi = jnp.maximum(t1, t2)
+        tmin = jnp.maximum(tmin, lo)
+        tmax = jnp.minimum(tmax, hi)
+        entries.append(lo)
+        dls.append(dl_k)
+    hit_ok = tmax > jnp.maximum(tmin, 1e-4)
     t = jnp.where(hit_ok & (tmin > 1e-4), tmin, BIG)
-    # normal: axis of entry face
-    entry = jnp.minimum(t1, t2)
-    axis = jnp.argmax(entry, axis=-1)  # (P,B)
-    sign = -jnp.sign(jnp.take_along_axis(dl, axis[..., None], -1))[..., 0]
-    n_local = jax.nn.one_hot(axis, 3) * sign[..., None]
-    n = jnp.einsum("bij,pbj->pbi", R, n_local)  # box->world
-    return t, n
+    # entry face = axis with the largest slab-entry value (ties -> first,
+    # matching argmax); world normal = +-R[:, axis]
+    e0, e1, e2 = entries
+    ax0 = (e0 >= e1) & (e0 >= e2)
+    ax1 = (~ax0) & (e1 >= e2)
+    ax2 = ~(ax0 | ax1)
+    nx = ny = nz = 0.0
+    for axm, k in ((ax0, 0), (ax1, 1), (ax2, 2)):
+        sgn = -jnp.sign(dls[k])
+        nx = nx + jnp.where(axm, R[0, k] * sgn, 0.0)
+        ny = ny + jnp.where(axm, R[1, k] * sgn, 0.0)
+        nz = nz + jnp.where(axm, R[2, k] * sgn, 0.0)
+    return _merge(best, t, _shade(col[0], col[1], col[2], nx, ny, nz))
 
 
-def _checker(p):
-    """Floor checker like the MJCF grid texture (~0.75 m squares over 6 m)."""
-    k = jnp.floor(p[..., 0] / 0.75) + jnp.floor(p[..., 1] / 0.75)
-    dark = jnp.asarray([0.1, 0.2, 0.3])
-    light = jnp.asarray([0.2, 0.3, 0.4])
-    sel = (jnp.mod(k, 2.0) == 0)[..., None]
-    return jnp.where(sel, dark, light)
+def _render_plane(best, rays):
+    """Checker floor at z=0 (like the MJCF grid texture, ~0.75 m squares)."""
+    ox, oy, oz, dx, dy, dz = rays
+    t = jnp.where(dz < -1e-6, -oz / dz, BIG)
+    px = ox + t * dx
+    py = oy + t * dy
+    k = jnp.floor(px / 0.75) + jnp.floor(py / 0.75)
+    sel = jnp.mod(k, 2.0) == 0
+    dark = (0.1, 0.2, 0.3)
+    light = (0.2, 0.3, 0.4)
+    cr = jnp.where(sel, dark[0], light[0])
+    cg = jnp.where(sel, dark[1], light[1])
+    cb = jnp.where(sel, dark[2], light[2])
+    return _merge(best, t, _shade(cr, cg, cb, 0.0, 0.0, 1.0))
 
 
-def _sky(d):
-    t = jnp.clip(d[..., 2] * 0.5 + 0.5, 0.0, 1.0)[..., None]
-    top = jnp.asarray([0.3, 0.5, 0.7])
-    bot = jnp.asarray([0.05, 0.05, 0.08])
-    return bot + t * (top - bot)
-
-
-_LIGHT_DIR = jnp.asarray([0.3, 0.2, 1.0]) / jnp.linalg.norm(
-    jnp.asarray([0.3, 0.2, 1.0])
+_LIGHT_DIR = np.asarray([0.3, 0.2, 1.0], np.float32) / np.linalg.norm(
+    np.asarray([0.3, 0.2, 1.0], np.float32)
 )
 
 
 def render_scene(scene: Scene, cam_pos, cam_R, fovy_deg: float, size: int):
     """Render one camera. cam_R columns: x=right, y=up, -z=view (MuJoCo)."""
-    half = jnp.tan(jnp.deg2rad(fovy_deg) / 2.0)
-    ys = jnp.linspace(half, -half, size)
-    xs = jnp.linspace(-half, half, size)
-    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
-    dirs_cam = jnp.stack([gx, gy, -jnp.ones_like(gx)], axis=-1).reshape(-1, 3)
-    d = dirs_cam @ cam_R.T
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    o = jnp.broadcast_to(cam_pos, d.shape)
+    half = float(np.tan(np.deg2rad(fovy_deg) / 2.0))
+    ys = np.linspace(half, -half, size, dtype=np.float32)
+    xs = np.linspace(-half, half, size, dtype=np.float32)
+    gy, gx = np.meshgrid(ys, xs, indexing="ij")
+    gx = jnp.asarray(gx.reshape(-1))  # (P,)
+    gy = jnp.asarray(gy.reshape(-1))
+    # world-frame directions: cam_R @ (gx, gy, -1), normalized
+    dx = cam_R[0, 0] * gx + cam_R[0, 1] * gy - cam_R[0, 2]
+    dy = cam_R[1, 0] * gx + cam_R[1, 1] * gy - cam_R[1, 2]
+    dz = cam_R[2, 0] * gx + cam_R[2, 1] * gy - cam_R[2, 2]
+    inv = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    dx, dy, dz = dx * inv, dy * inv, dz * inv
+    rays = (cam_pos[0], cam_pos[1], cam_pos[2], dx, dy, dz)
 
-    P = d.shape[0]
-    # plane z=0
-    t_plane = jnp.where(d[:, 2] < -1e-6, -o[:, 2] / d[:, 2], BIG)
-
-    t_s, n_s = _ray_sphere(o, d, scene.sph_c, scene.sph_r)
-    t_c, n_c = _ray_capsule(o, d, scene.cap_a, scene.cap_b, scene.cap_r)
-    t_b, n_b = _ray_box(o, d, scene.box_c, scene.box_R, scene.box_h)
-
-    ts = jnp.concatenate([t_plane[:, None], t_s, t_c, t_b], axis=1)  # (P,M)
-    up = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (P, 1, 3))
-    ns = jnp.concatenate([up, n_s, n_c, n_b], axis=1)
-    plane_col = _checker(o + t_plane[:, None] * d)  # (P,3)
-    cols = jnp.concatenate(
-        [
-            plane_col[:, None, :],
-            jnp.broadcast_to(scene.sph_col, (P,) + scene.sph_col.shape),
-            jnp.broadcast_to(scene.cap_col, (P,) + scene.cap_col.shape),
-            jnp.broadcast_to(scene.box_col, (P,) + scene.box_col.shape),
-        ],
-        axis=1,
+    # sky background (framebuffer init), gradient on ray elevation
+    tsky = jnp.clip(dz * 0.5 + 0.5, 0.0, 1.0)
+    top = (0.3, 0.5, 0.7)
+    bot = (0.05, 0.05, 0.08)
+    best = (
+        jnp.full_like(dx, BIG),
+        bot[0] + tsky * (top[0] - bot[0]),
+        bot[1] + tsky * (top[1] - bot[1]),
+        bot[2] + tsky * (top[2] - bot[2]),
     )
 
-    idx = jnp.argmin(ts, axis=1)  # (P,)
-    t_hit = jnp.take_along_axis(ts, idx[:, None], 1)[:, 0]
-    n_hit = jnp.take_along_axis(ns, idx[:, None, None], 1)[:, 0]
-    c_hit = jnp.take_along_axis(cols, idx[:, None, None], 1)[:, 0]
+    best = _render_plane(best, rays)
+    for i in range(scene.sph_r.shape[0]):
+        best = _render_sphere(best, rays, scene.sph_c[i], scene.sph_r[i], scene.sph_col[i])
+    for i in range(scene.cap_r.shape[0]):
+        best = _render_capsule(
+            best, rays, scene.cap_a[i], scene.cap_b[i], scene.cap_r[i], scene.cap_col[i]
+        )
+    for i in range(scene.box_h.shape[0]):
+        best = _render_box(
+            best, rays, scene.box_c[i], scene.box_R[i], scene.box_h[i], scene.box_col[i]
+        )
 
-    # Lambert with headlight ambient (MJCF: ambient .5, diffuse .4 + lights)
-    diff = jnp.clip(jnp.sum(n_hit * _LIGHT_DIR, -1), 0.0, 1.0)[:, None]
-    lit = c_hit * (0.55 + 0.55 * diff)
-    sky = _sky(d)
-    rgb = jnp.where((t_hit < BIG)[:, None], lit, sky)
-    img = jnp.clip(rgb.reshape(size, size, 3), 0.0, 1.0)
+    _, r, g, b = best
+    img = jnp.stack([r, g, b], axis=-1).reshape(size, size, 3)
+    img = jnp.clip(img, 0.0, 1.0)
     return (img * 255.0).astype(jnp.uint8)
 
 
-_FRONT_R = quat_to_mat(jnp.asarray(pm.FRONT_CAM_QUAT, jnp.float32))
-_FRONT_POS = jnp.asarray(pm.FRONT_CAM_POS, jnp.float32)
-_WRIST_R_ATT = quat_to_mat(jnp.asarray(pm.WRIST_CAM_QUAT_ATT, jnp.float32))
-_WRIST_POS_ATT = jnp.asarray(pm.WRIST_CAM_POS_ATT, jnp.float32)
-_ATT_POS_L7 = jnp.asarray(pm.ATTACH_BODY_POS_L7, jnp.float32)
-_ATT_R_L7 = quat_to_mat(jnp.asarray(pm.ATTACH_BODY_QUAT_L7, jnp.float32))
+_FRONT_R = quat_to_mat_np(pm.FRONT_CAM_QUAT)
+_FRONT_POS = np.asarray(pm.FRONT_CAM_POS, np.float32)
+_WRIST_R_ATT = quat_to_mat_np(pm.WRIST_CAM_QUAT_ATT)
+_WRIST_POS_ATT = np.asarray(pm.WRIST_CAM_POS_ATT, np.float32)
+_ATT_POS_L7 = np.asarray(pm.ATTACH_BODY_POS_L7, np.float32)
+_ATT_R_L7 = quat_to_mat_np(pm.ATTACH_BODY_QUAT_L7)
 
 
 def render_cameras(state: engine.PhysicsState, size: int = 128):

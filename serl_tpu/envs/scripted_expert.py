@@ -50,3 +50,78 @@ def expert_action(
     if rng is not None and noise_scale > 0.0:
         action = action + noise_scale * jax.random.normal(rng, (4,))
     return jnp.clip(action, -1.0, 1.0)
+
+
+def pose_expert_action(
+    state: EnvState,
+    target_pose,
+    action_scale,
+    rng: jnp.ndarray = None,
+    noise_scale: float = 0.0,
+    approach_z: float = 0.15,
+) -> jnp.ndarray:
+    """(7,) expert for PandaPoseTaskEnv workloads (peg/PCB/cable shapes):
+    align xy above the target, then descend to the target pose. The same
+    role the spacemouse operator plays when recording demos / intervening in
+    the reference's real-robot examples (record_demo.py,
+    SpacemouseIntervention)."""
+    phys = state.physics
+    mocap = phys.mocap_pos
+    target = jnp.asarray(target_pose[:3], jnp.float32)
+
+    xy_err = jnp.linalg.norm(mocap[:2] - target[:2])
+    aligned = xy_err < 0.005
+    goal_z = jnp.where(aligned, target[2], jnp.maximum(mocap[2], approach_z))
+    goal = jnp.concatenate([target[:2], goal_z[None]])
+
+    dpos = jnp.clip((goal - mocap) / action_scale[0], -1.0, 1.0)
+    # hold orientation (tasks reset at the target orientation), keep gripper
+    action = jnp.concatenate([dpos, jnp.zeros(3), jnp.zeros(1)])
+    if rng is not None and noise_scale > 0.0:
+        action = action + noise_scale * jax.random.normal(rng, (7,))
+    return jnp.clip(action, -1.0, 1.0)
+
+
+def relocation_expert_action(
+    state: EnvState,
+    target_bin,
+    action_scale,
+    rng: jnp.ndarray = None,
+    noise_scale: float = 0.0,
+) -> jnp.ndarray:
+    """(7,) expert for BinRelocationEnv: pick the cube, carry it over the
+    target bin, release. Geometric state machine like `expert_action`."""
+    phys = state.physics
+    tcp, _, cube = engine.observe(phys)
+    mocap = phys.mocap_pos
+    theta = phys.theta
+    tgt = jnp.asarray(target_bin, jnp.float32)
+
+    over_bin = jnp.linalg.norm(cube[:2] - tgt) < 0.04
+    holding = (theta > 0.25) & (cube[2] > 0.05)
+    closing = theta > 0.25
+
+    xy_err = jnp.linalg.norm(tcp[:2] - cube[:2])
+    aligned = xy_err < 0.010
+    near_grasp = aligned & (tcp[2] < cube[2] + 0.012)
+
+    above_cube = jnp.concatenate([cube[:2], jnp.asarray([0.18])])
+    grasp_pos = jnp.concatenate([cube[:2], cube[2:3] - 0.006])
+    carry = jnp.concatenate([tgt, jnp.asarray([0.15])])
+
+    target = jnp.where(
+        holding,
+        carry,
+        jnp.where(closing, carry, jnp.where(aligned, grasp_pos, above_cube)),
+    )
+    # release once the held cube is over the bin
+    release = holding & (jnp.linalg.norm(tcp[:2] - tgt) < 0.02)
+    grasp = jnp.where(
+        release, -1.0, jnp.where(near_grasp | closing | holding, 1.0, -1.0)
+    )
+
+    dpos = jnp.clip((target - mocap) / action_scale[0], -1.0, 1.0)
+    action = jnp.concatenate([dpos, jnp.zeros(3), grasp[None]])
+    if rng is not None and noise_scale > 0.0:
+        action = action + noise_scale * jax.random.normal(rng, (7,))
+    return jnp.clip(action, -1.0, 1.0)

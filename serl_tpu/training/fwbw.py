@@ -1,0 +1,285 @@
+"""Fused forward/backward dual-policy training (bin relocation).
+
+Capability parity: reference `examples/async_bin_relocation_fwbw_drq/
+async_drq_randomized.py` (E6) — TWO policies with their own replay buffers
+and learners (:106-109, :176-185), the active task switching on classifier
+success (:265-272). The reference needs the dual setup because one physical
+robot alternates tasks; transitions stream to the fw or bw learner depending
+on the active task.
+
+TPU-native redesign: both agents, both HBM ring buffers, and the env batch
+live in ONE jit program. The env batch is split into a forward group and a
+backward group trained simultaneously (each group's transitions are written
+to its own buffer — lockstep rows stay shard-local); the reference's
+sequential task graph is preserved where it semantically matters, in
+evaluation: `evaluate_chained` runs the fw policy to success, hands the
+physical state to the bw policy (no reset — exactly the robot's situation),
+and reports round-trip success.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from serl_tpu.agents.sac import SACAgent
+from serl_tpu.data.replay_buffer import ReplayBuffer, ReplayBufferState
+from serl_tpu.envs.panda_pick import flatten_obs
+from serl_tpu.envs.tasks import BinRelocationEnv
+
+
+class FwBwConfig(NamedTuple):
+    envs_per_task: int = 8
+    batch_size: int = 256
+    utd_ratio: int = 4
+    updates_per_iter: int = 1
+    training_starts: int = 1000
+    random_steps: int = 1000
+    buffer_capacity: int = 100_000
+    demo_fraction: float = 0.0
+    intervention_prob: float = 0.0  # scripted relocation expert override
+
+
+class TaskCarry(NamedTuple):
+    agent: SACAgent
+    env_states: Any
+    obs: jnp.ndarray
+    rb_state: ReplayBufferState
+    demo_state: Optional[ReplayBufferState]
+    ep_return: jnp.ndarray
+    ep_count: jnp.ndarray
+    ret_sum: jnp.ndarray
+    succ_sum: jnp.ndarray
+
+
+class FwBwCarry(NamedTuple):
+    fw: TaskCarry
+    bw: TaskCarry
+    rng: jnp.ndarray
+    env_steps: jnp.ndarray
+
+
+def make_fwbw_loop(
+    fw_env: BinRelocationEnv,
+    bw_env: BinRelocationEnv,
+    rb: ReplayBuffer,
+    config: FwBwConfig,
+):
+    """Returns (init_fn, run_chunk_fn) for the dual-policy program.
+
+    init_fn(fw_agent, bw_agent, rng, fw_demo=None, bw_demo=None) -> FwBwCarry
+    run_chunk(carry, num_iters) -> (carry, metrics)
+    """
+    n = config.envs_per_task
+
+    def _init_task(env, agent, rng, demo_state):
+        keys = jax.random.split(rng, n)
+        env_states, obs = jax.vmap(env.reset)(keys)
+        return TaskCarry(
+            agent=agent,
+            env_states=env_states,
+            obs=flatten_obs(obs),
+            rb_state=rb.init_state(streams=n),
+            demo_state=demo_state,
+            ep_return=jnp.zeros((n,)),
+            ep_count=jnp.zeros((), jnp.int32),
+            ret_sum=jnp.zeros(()),
+            succ_sum=jnp.zeros(()),
+        )
+
+    @jax.jit
+    def _init_all(fw_agent, bw_agent, rng, fw_demo, bw_demo):
+        rng, k_fw, k_bw = jax.random.split(rng, 3)
+        fw = _init_task(fw_env, fw_agent, k_fw, fw_demo)
+        bw = _init_task(bw_env, bw_agent, k_bw, bw_demo)
+        return FwBwCarry(
+            fw=fw, bw=bw, rng=rng, env_steps=jnp.zeros((), jnp.int32)
+        )
+
+    def init_fn(fw_agent, bw_agent, rng, fw_demo=None, bw_demo=None):
+        return _init_all(fw_agent, bw_agent, rng, fw_demo, bw_demo)
+
+    def _step_task(env, tc: TaskCarry, env_steps, rng) -> Tuple[TaskCarry, dict]:
+        act_key, rand_key, int_key, sample_key = jax.random.split(rng, 4)
+        random_actions = jax.random.uniform(
+            rand_key, (n, env.ACTION_DIM), minval=-1.0, maxval=1.0
+        )
+        policy_actions = tc.agent.sample_actions(tc.obs, seed=act_key)
+        actions = jnp.where(
+            env_steps < config.random_steps, random_actions, policy_actions
+        )
+        if config.intervention_prob > 0.0:
+            from serl_tpu.envs.scripted_expert import relocation_expert_action
+
+            tgt = env.FW_BIN if env.task_id == 0 else env.BW_BIN
+            expert = jax.vmap(
+                lambda s: relocation_expert_action(
+                    s, tgt, jnp.asarray(env.config.action_scale)
+                )
+            )(tc.env_states)
+            intervene = jax.random.uniform(int_key, (n,)) < config.intervention_prob
+            # store the EXPERT action when it drove the env
+            # (reference async_drq_randomized.py:177-179)
+            actions = jnp.where(intervene[:, None], expert, actions)
+
+        env_states, next_obs_d, rewards, dones, info = jax.vmap(
+            env.step_auto_reset
+        )(tc.env_states, actions)
+        next_obs = flatten_obs(next_obs_d)
+
+        transitions = {
+            "observations": tc.obs,
+            "actions": actions,
+            "rewards": rewards,
+            "masks": 1.0 - dones,
+            "dones": dones,
+            "next_observations": flatten_obs(info["final_obs"]),
+        }
+        ep_ids = env_states.ep_id * n + jnp.arange(n, dtype=jnp.int32)
+        rb_state = rb.insert(tc.rb_state, transitions, ep_ids)
+
+        done_mask = dones > 0.5
+        ep_return = tc.ep_return + rewards
+        ep_count = tc.ep_count + done_mask.sum().astype(jnp.int32)
+        ret_sum = tc.ret_sum + jnp.where(done_mask, ep_return, 0.0).sum()
+        succ_sum = tc.succ_sum + jnp.where(done_mask, info["success"], 0.0).sum()
+        ep_return = jnp.where(done_mask, 0.0, ep_return)
+
+        # learner
+        def do_updates(operand):
+            agent, rb_state, demo_state, key = operand
+
+            def one(agent, k):
+                if config.demo_fraction > 0.0 and demo_state is not None:
+                    batch = rb.sample_mixed(
+                        rb_state, demo_state, k,
+                        config.batch_size * config.utd_ratio,
+                    )
+                else:
+                    batch = rb.sample(
+                        rb_state, k, config.batch_size * config.utd_ratio
+                    )
+                return agent.update_high_utd(batch, utd_ratio=config.utd_ratio)
+
+            keys = jax.random.split(key, config.updates_per_iter)
+            agent, infos = jax.lax.scan(one, agent, keys)
+            return agent, jax.tree.map(lambda x: x.mean(axis=0), infos)
+
+        def no_updates(operand):
+            agent, rb_state, demo_state, key = operand
+            shapes = jax.eval_shape(lambda op: do_updates(op)[1], operand)
+            return agent, jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes
+            )
+
+        can_train = rb_state.size * n >= jnp.asarray(
+            max(config.training_starts, config.batch_size * config.utd_ratio),
+            jnp.int32,
+        )
+        agent, update_infos = jax.lax.cond(
+            can_train,
+            do_updates,
+            no_updates,
+            (tc.agent, rb_state, tc.demo_state, sample_key),
+        )
+
+        new_tc = TaskCarry(
+            agent=agent,
+            env_states=env_states,
+            obs=next_obs,
+            rb_state=rb_state,
+            demo_state=tc.demo_state,
+            ep_return=ep_return,
+            ep_count=ep_count,
+            ret_sum=ret_sum,
+            succ_sum=succ_sum,
+        )
+        metrics = {
+            "reward_mean": rewards.mean(),
+            "critic_loss": update_infos["critic"]["critic_loss"],
+            "ep_count": ep_count,
+            "ret_sum": ret_sum,
+            "succ_sum": succ_sum,
+        }
+        return new_tc, metrics
+
+    def iter_body(carry: FwBwCarry, _):
+        rng, k_fw, k_bw = jax.random.split(carry.rng, 3)
+        fw, fw_m = _step_task(fw_env, carry.fw, carry.env_steps, k_fw)
+        bw, bw_m = _step_task(bw_env, carry.bw, carry.env_steps, k_bw)
+        env_steps = carry.env_steps + 2 * n
+        new_carry = FwBwCarry(fw=fw, bw=bw, rng=rng, env_steps=env_steps)
+        metrics = {
+            "env_steps": env_steps,
+            **{f"fw/{k}": v for k, v in fw_m.items()},
+            **{f"bw/{k}": v for k, v in bw_m.items()},
+        }
+        return new_carry, metrics
+
+    @partial(jax.jit, static_argnames=("num_iters",), donate_argnums=(0,))
+    def run_chunk(carry: FwBwCarry, num_iters: int):
+        return jax.lax.scan(iter_body, carry, None, length=num_iters)
+
+    return init_fn, run_chunk
+
+
+def evaluate_chained(
+    fw_env: BinRelocationEnv,
+    bw_env: BinRelocationEnv,
+    fw_agent: SACAgent,
+    bw_agent: SACAgent,
+    rng,
+    num_episodes: int = 16,
+    max_steps: int = 100,
+):
+    """The reference's actual fwbw semantics: run fw to success, then hand
+    the PHYSICAL state to the bw policy with no reset (the task-graph switch,
+    async_drq_randomized.py:265-272). Reports fw success, bw-given-fw
+    success, and round-trip success."""
+    keys = jax.random.split(rng, num_episodes)
+
+    @jax.jit
+    def rollout(fw_agent, bw_agent, keys):
+        states, obs = jax.vmap(fw_env.reset)(keys)
+
+        def fw_body(carry, _):
+            states, obs, succ = carry
+            actions = fw_agent.sample_actions(flatten_obs(obs), argmax=True)
+            states, obs, r, d, info = jax.vmap(fw_env.step)(states, actions)
+            succ = jnp.maximum(succ, info["success"])
+            return (states, obs, succ), None
+
+        (states, obs, fw_succ), _ = jax.lax.scan(
+            fw_body, (states, obs, jnp.zeros(num_episodes)), None,
+            length=max_steps,
+        )
+
+        # hand off: same physics state, bw task; reset only the episode clock
+        states = states._replace(t=jnp.zeros_like(states.t))
+
+        def bw_body(carry, _):
+            states, obs, succ = carry
+            actions = bw_agent.sample_actions(flatten_obs(obs), argmax=True)
+            states, obs, r, d, info = jax.vmap(bw_env.step)(states, actions)
+            succ = jnp.maximum(succ, info["success"])
+            return (states, obs, succ), None
+
+        obs = jax.vmap(bw_env._obs)(states)
+        (states, obs, bw_succ), _ = jax.lax.scan(
+            bw_body, (states, obs, jnp.zeros(num_episodes)), None,
+            length=max_steps,
+        )
+        return fw_succ, bw_succ
+
+    fw_succ, bw_succ = rollout(fw_agent, bw_agent, keys)
+    round_trip = fw_succ * bw_succ
+    return {
+        "eval/fw_success": float(fw_succ.mean()),
+        "eval/bw_success_given_fw": float(
+            (bw_succ * fw_succ).sum() / jnp.maximum(fw_succ.sum(), 1.0)
+        ),
+        "eval/round_trip_success": float(round_trip.mean()),
+    }

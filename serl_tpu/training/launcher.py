@@ -161,10 +161,18 @@ def make_drq_sim_experiment(
         capacity=config.buffer_capacity,
         image_size=image_size,
     )
-    # build a sample obs through the same pipeline the loop uses
-    state0, obs0 = env.reset(jax.random.PRNGKey(0))
-    sample = add_stack_axis(serl_obs(obs0), rb.image_keys)
-    sample = jax.tree.map(lambda x: x[None], sample)
+    # build a sample obs through the same pipeline the loop uses — via
+    # eval_shape: the factory only needs shapes/dtypes, and running an
+    # unjitted reset+render op-by-op is pathologically slow on a remote
+    # accelerator (every primitive is a round-trip)
+    def _sample_obs(key):
+        _, obs0 = env.reset(key)
+        return jax.tree.map(
+            lambda x: x[None], add_stack_axis(serl_obs(obs0), rb.image_keys)
+        )
+
+    shapes = jax.eval_shape(_sample_obs, jax.random.PRNGKey(0))
+    sample = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
     agent = make_drq_agent(
         seed, sample, jnp.zeros((1, ACTION_DIM)), image_keys=rb.image_keys,
         encoder_type=encoder_type,

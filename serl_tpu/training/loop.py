@@ -62,7 +62,12 @@ class LoopCarry(NamedTuple):
     succ_sum: jnp.ndarray  # () sum of per-episode max success
 
 
-def make_fused_loop(env: PandaPickCubeEnv, rb: ReplayBuffer, config: LoopConfig):
+def make_fused_loop(
+    env: PandaPickCubeEnv,
+    rb: ReplayBuffer,
+    config: LoopConfig,
+    expert_fn=None,
+):
     """Returns (init_fn, run_chunk_fn).
 
     init_fn(agent, rng, demo_state=None) -> LoopCarry
@@ -72,8 +77,14 @@ def make_fused_loop(env: PandaPickCubeEnv, rb: ReplayBuffer, config: LoopConfig)
     flat pixel convention {"state": vec, "<image_key>": img} (DrQ). In pixel
     mode the buffer stores single frames (memory-efficient layout) and the
     agent sees an explicit T=1 stack axis.
+
+    Works for any env with the PandaPickCubeEnv surface (reset /
+    step_auto_reset / optional ACTION_DIM attr), incl. the pose-task envs.
+    `expert_fn(env_state) -> action` overrides the default scripted pick
+    expert for intervention-style training (config.intervention_prob).
     """
     pixel_keys = rb.image_keys
+    action_dim = getattr(env, "ACTION_DIM", ACTION_DIM)
 
     def to_buffer_obs(obs_dict):
         return serl_obs(obs_dict) if pixel_keys else flatten_obs(obs_dict)
@@ -81,14 +92,22 @@ def make_fused_loop(env: PandaPickCubeEnv, rb: ReplayBuffer, config: LoopConfig)
     def to_agent_obs(obs):
         return add_stack_axis(obs, pixel_keys) if pixel_keys else obs
 
-    def init_fn(agent, rng, demo_state=None):
-        rng, env_key = jax.random.split(rng)
+    # jitted so a remote accelerator sees ONE program, not op-by-op dispatch
+    # (a 16-env unjitted reset+render costs minutes of round-trips on a
+    # tunneled TPU)
+    @jax.jit
+    def _reset_all(env_key):
         keys = jax.random.split(env_key, config.num_envs)
         env_states, obs = jax.vmap(env.reset)(keys)
+        return env_states, to_buffer_obs(obs)
+
+    def init_fn(agent, rng, demo_state=None):
+        rng, env_key = jax.random.split(rng)
+        env_states, obs = _reset_all(env_key)
         return LoopCarry(
             agent=agent,
             env_states=env_states,
-            obs=to_buffer_obs(obs),
+            obs=obs,
             # each lockstep env owns one stream (ring) in the buffer
             rb_state=rb.init_state(streams=config.num_envs),
             demo_state=demo_state,
@@ -105,7 +124,7 @@ def make_fused_loop(env: PandaPickCubeEnv, rb: ReplayBuffer, config: LoopConfig)
 
         # ---- actor: one step for every env ----
         random_actions = jax.random.uniform(
-            rand_key, (config.num_envs, ACTION_DIM), minval=-1.0, maxval=1.0
+            rand_key, (config.num_envs, action_dim), minval=-1.0, maxval=1.0
         )
         policy_actions = carry.agent.sample_actions(
             to_agent_obs(carry.obs), seed=act_key
@@ -114,12 +133,14 @@ def make_fused_loop(env: PandaPickCubeEnv, rb: ReplayBuffer, config: LoopConfig)
             carry.env_steps < config.random_steps, random_actions, policy_actions
         )
         if config.intervention_prob > 0.0:
-            from serl_tpu.envs.scripted_expert import expert_action
+            if expert_fn is None:
+                from serl_tpu.envs.scripted_expert import expert_action
 
+                _expert = lambda s: expert_action(s, None, 0.0)
+            else:
+                _expert = expert_fn
             int_key, noise_key = jax.random.split(act_key)
-            expert_actions = jax.vmap(
-                lambda s: expert_action(s, None, 0.0)
-            )(carry.env_states)
+            expert_actions = jax.vmap(_expert)(carry.env_states)
             intervene = (
                 jax.random.uniform(int_key, (config.num_envs,))
                 < config.intervention_prob

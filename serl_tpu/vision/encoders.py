@@ -289,7 +289,11 @@ class PreTrainedResNetEncoder(nn.Module):
 
 
 class SmallEncoder(nn.Module):
-    """4-conv encoder (reference small_encoders.py:9-55)."""
+    """4-conv encoder (reference small_encoders.py:9-55).
+
+    `compute_dtype=bfloat16` (the DrQ default, set in the encoder registry)
+    runs the convs on the MXU's bf16 path with fp32 params and fp32
+    pooling/bottleneck — the standard TPU mixed-precision recipe."""
 
     features: Sequence[int] = (32, 64, 128, 256)
     kernel_sizes: Sequence[int] = (3, 3, 3, 3)
@@ -298,10 +302,11 @@ class SmallEncoder(nn.Module):
     pool_method: str = "avg"
     bottleneck_dim: Optional[int] = 256
     spatial_block_size: int = 8
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, observations, train: bool = False, encode: bool = True):
-        x = observations.astype(jnp.float32) / 255.0
+        x = observations.astype(self.compute_dtype) / 255.0
         for i, f in enumerate(self.features):
             pad = self.padding if isinstance(self.padding, str) else self.padding[i]
             x = nn.Conv(
@@ -309,8 +314,10 @@ class SmallEncoder(nn.Module):
                 kernel_size=(self.kernel_sizes[i],) * 2,
                 strides=(self.strides[i],) * 2,
                 padding=pad,
+                dtype=self.compute_dtype,
             )(x)
             x = nn.relu(x)
+        x = x.astype(jnp.float32)
         x = _pool(
             x,
             "spatial_learned_embeddings"
