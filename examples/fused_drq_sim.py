@@ -18,7 +18,7 @@ import jax
 
 from serl_tpu.common.logger import Logger
 from serl_tpu.training.launcher import make_drq_sim_experiment
-from serl_tpu.training.runner import run_fused
+from serl_tpu.training.runner import eval_from_checkpoint, run_fused
 
 
 def main():
@@ -38,6 +38,10 @@ def main():
     p.add_argument("--rlpd", action="store_true")
     p.add_argument("--num_demos", type=int, default=20)
     p.add_argument("--checkpoint_dir", type=str, default=None)
+    # checkpoint-eval mode (reference --eval_checkpoint_step,
+    # async_peg_insert_drq/async_drq_randomized.py:96-133)
+    p.add_argument("--eval_checkpoint_step", type=int, default=None)
+    p.add_argument("--eval_n_trajs", type=int, default=32)
     p.add_argument("--success_stop", type=float, default=None)
     p.add_argument("--debug", action="store_true")
     args = p.parse_args()
@@ -55,6 +59,19 @@ def main():
         buffer_capacity=args.buffer_capacity,
         demo_fraction=0.5 if args.rlpd else 0.0,
     )
+
+    # eval-only mode: restore a checkpoint and roll out the policy
+    # (-1 = latest checkpoint)
+    if args.eval_checkpoint_step is not None:
+        assert args.checkpoint_dir, "--eval_checkpoint_step needs --checkpoint_dir"
+        eval_from_checkpoint(
+            env, agent, rb, args.checkpoint_dir,
+            step=None if args.eval_checkpoint_step < 0
+            else args.eval_checkpoint_step,
+            num_episodes=args.eval_n_trajs,
+            seed=args.seed,
+        )
+        return
 
     demo_state = None
     if args.rlpd:

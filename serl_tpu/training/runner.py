@@ -135,3 +135,52 @@ def run_fused(
         ckpt.close()
     logger.close()
     return carry
+
+
+def eval_from_checkpoint(
+    env,
+    agent,
+    rb,
+    checkpoint_dir: str,
+    *,
+    step: Optional[int] = None,
+    num_episodes: int = 32,
+    num_rounds: int = 1,
+    seed: int = 0,
+    obs_fn: Optional[Callable] = None,
+):
+    """Checkpoint-eval mode (reference `--eval_checkpoint_step`,
+    async_peg_insert_drq/async_drq_randomized.py:96-133): restore agent
+    params from a periodic checkpoint written by `run_fused` and roll out
+    the deterministic policy, printing per-round and aggregate success.
+
+    `step=None` evaluates the latest checkpoint."""
+    from serl_tpu.training.checkpointing import CheckpointManager
+
+    mngr = CheckpointManager(checkpoint_dir)
+    if mngr.latest_step() is None:
+        raise FileNotFoundError(f"no checkpoints under {checkpoint_dir}")
+    step = step if step is not None else mngr.latest_step()
+    restored = mngr.restore(step, target={"agent_params": agent.state.params})
+    agent = agent.replace(
+        state=agent.state.replace(params=restored["agent_params"])
+    )
+    print(f"evaluating checkpoint step {step} from {checkpoint_dir}")
+    agg = []
+    for r in range(num_rounds):
+        ev = evaluate(
+            env,
+            agent,
+            jax.random.PRNGKey(seed + r),
+            num_episodes=num_episodes,
+            obs_fn=obs_fn,
+            pixel_keys=rb.image_keys,
+        )
+        agg.append(ev["eval/success_rate"])
+        print(
+            f"round {r}: success {ev['eval/success_rate']:.2f} "
+            f"return {ev['eval/return_mean']:.1f}",
+            flush=True,
+        )
+    print(f"mean success over {num_rounds} rounds: {float(np.mean(agg)):.3f}")
+    return agent, float(np.mean(agg))

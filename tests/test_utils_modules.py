@@ -146,3 +146,43 @@ def test_evaluation_helpers():
     g(1)
     g(2)
     assert not np.array_equal(calls[0], calls[1])
+
+
+def test_eval_from_checkpoint(tmp_path):
+    """Checkpoint-eval mode (reference --eval_checkpoint_step,
+    async_peg_insert_drq/async_drq_randomized.py:96-133): restore a
+    run_fused-format checkpoint and roll out the policy."""
+    from serl_tpu.envs.panda_pick import PandaPickCubeEnv
+    from serl_tpu.training.checkpointing import CheckpointManager
+    from serl_tpu.training.launcher import (
+        make_sac_agent,
+        make_state_replay_buffer,
+    )
+    from serl_tpu.training.runner import eval_from_checkpoint
+
+    env = PandaPickCubeEnv()
+    rb = make_state_replay_buffer(capacity=128)
+    agent = make_sac_agent(seed=0)
+    # write a checkpoint in run_fused's format
+    m = CheckpointManager(str(tmp_path / "ckpt"))
+    m.save(42, {"agent_params": agent.state.params}, wait=True)
+    m.close()
+
+    fresh = make_sac_agent(seed=1)
+    restored, succ = eval_from_checkpoint(
+        env, fresh, rb, str(tmp_path / "ckpt"),
+        num_episodes=2, num_rounds=1,
+    )
+    # params were grafted from the checkpointed agent, not the fresh init
+    for a, b in zip(
+        jax.tree.leaves(agent.state.params),
+        jax.tree.leaves(restored.state.params),
+    ):
+        np.testing.assert_allclose(a, b)
+    assert 0.0 <= succ <= 1.0
+
+    # asking for a missing directory fails loudly
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        eval_from_checkpoint(env, fresh, rb, str(tmp_path / "nope"))
