@@ -89,3 +89,68 @@ def test_async_actor_learner_end_to_end(tmp_path):
     assert "buffer" in learner_out
     # actor made env progress
     assert "actor step" in actor_out, actor_out[-4000:]
+
+
+def test_async_drq_pixels_end_to_end(tmp_path):
+    """Pixel (DrQ) two-process variant: image transitions cross the wire,
+    the learner runs augmented high-UTD updates on them (reference E2,
+    examples/async_drq_sim/async_drq_sim.py). Small images + tiny cadence
+    keep it CPU-fast."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+
+    common = [
+        sys.executable,
+        str(REPO / "examples" / "async_drq_sim.py"),
+        "--port",
+        str(port),
+        "--image_size",
+        "32",
+        "--batch_size",
+        "16",
+        "--critic_actor_ratio",
+        "2",
+        "--training_starts",
+        "48",
+    ]
+    learner = subprocess.Popen(
+        common + ["--learner", "--max_steps", "6", "--log_period", "2",
+                  "--publish_period", "2"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        env=env,
+        cwd=REPO,
+    )
+    actor = subprocess.Popen(
+        common
+        + [
+            "--actor",
+            "--max_steps",
+            "400",
+            "--random_steps",
+            "150",
+            "--steps_per_update",
+            "10",
+        ],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        env=env,
+        cwd=REPO,
+    )
+    try:
+        learner_out, _ = learner.communicate(timeout=420)
+        actor_out, _ = actor.communicate(timeout=420)
+    finally:
+        for p in (learner, actor):
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
+
+    assert learner.returncode == 0, f"learner failed:\n{learner_out[-4000:]}"
+    assert actor.returncode == 0, f"actor failed:\n{actor_out[-4000:]}"
+    assert "update 4" in learner_out, learner_out[-4000:]
+    assert "actor step" in actor_out, actor_out[-4000:]
