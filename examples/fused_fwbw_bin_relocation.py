@@ -44,6 +44,8 @@ def main():
     p.add_argument("--training_starts", type=int, default=2000)
     p.add_argument("--random_steps", type=int, default=2000)
     p.add_argument("--intervention_prob", type=float, default=0.1)
+    p.add_argument("--intervention_mode", default="episode",
+                   choices=["step", "episode"])
     p.add_argument("--total_steps", type=int, default=200_000)
     p.add_argument("--eval_period", type=int, default=8000)
     p.add_argument("--log", type=str, default=None)
@@ -60,6 +62,7 @@ def main():
         random_steps=args.random_steps,
         buffer_capacity=(200_000 // args.envs_per_task) * args.envs_per_task,
         intervention_prob=args.intervention_prob,
+        intervention_mode=args.intervention_mode,
     )
     example = {
         "observations": jnp.zeros((OBS_DIM,)),

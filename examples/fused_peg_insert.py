@@ -42,7 +42,9 @@ def main():
     p.add_argument("--training_starts", type=int, default=1000)
     p.add_argument("--random_steps", type=int, default=1000)
     p.add_argument("--num_demos", type=int, default=20)
-    p.add_argument("--intervention_prob", type=float, default=0.05)
+    p.add_argument("--intervention_prob", type=float, default=0.1)
+    p.add_argument("--intervention_mode", default="episode",
+                   choices=["step", "episode"])
     p.add_argument("--total_steps", type=int, default=100_000)
     p.add_argument("--eval_period", type=int, default=8000)
     p.add_argument("--log", type=str, default=None)
@@ -92,6 +94,7 @@ def main():
         buffer_capacity=(100_000 // args.num_envs) * args.num_envs,
         demo_fraction=0.5 if demo_state is not None else 0.0,
         intervention_prob=args.intervention_prob,
+        intervention_mode=args.intervention_mode,
     )
     rb = ReplayBuffer(
         {

@@ -75,8 +75,16 @@ def pose_expert_action(
     goal = jnp.concatenate([target[:2], goal_z[None]])
 
     dpos = jnp.clip((goal - mocap) / action_scale[0], -1.0, 1.0)
-    # hold orientation (tasks reset at the target orientation), keep gripper
-    action = jnp.concatenate([dpos, jnp.zeros(3), jnp.zeros(1)])
+    # steer orientation to the target euler (resets may randomize yaw —
+    # reference RANDOM_RZ_RANGE), keep gripper
+    from serl_tpu.envs.wrappers import quat_to_euler
+
+    tgt_eul = jnp.asarray(target_pose[3:6], jnp.float32)
+    eul = quat_to_euler(phys.mocap_quat)
+    err = tgt_eul - eul
+    err = err - 2.0 * jnp.pi * jnp.round(err / (2.0 * jnp.pi))
+    drot = jnp.clip(err / jnp.maximum(action_scale[1], 1e-6), -1.0, 1.0)
+    action = jnp.concatenate([dpos, drot, jnp.zeros(1)])
     if rng is not None and noise_scale > 0.0:
         action = action + noise_scale * jax.random.normal(rng, (7,))
     return jnp.clip(action, -1.0, 1.0)

@@ -41,31 +41,62 @@ class PoseTaskConfig(NamedTuple):
     time_limit_steps: int = 100
     cartesian_lo: Tuple[float, float, float] = (0.2, -0.3, 0.0)
     cartesian_hi: Tuple[float, float, float] = (0.6, 0.3, 0.5)
+    # euler-angle safety box (reference ABS_POSE_LIMIT_LOW/HIGH rot dims +
+    # clip_safety_box, franka_env.py:167-189): the commanded orientation is
+    # clipped to this box around the task. (±pi, ±pi, ±pi) = unconstrained.
+    rot_lo: Tuple[float, float, float] = (-3.2, -3.2, -3.2)
+    rot_hi: Tuple[float, float, float] = (3.2, 3.2, 3.2)
 
 
-# canonical task configs (shapes from the reference's peg/pcb/cable configs)
+# canonical task configs. Shapes mirror the reference's task configs — in
+# particular the TIGHT target-centered safety boxes (ABS_POSE_LIMIT_LOW/HIGH,
+# e.g. peg_env/config.py:30-49: xy within +-RANDOM_XY_RANGE of the target,
+# z in [target, target+0.1], roll/pitch pinned to +-0.01 rad). The box is
+# what makes the sparse-reward recipes tractable: exploration lives in a
+# ~10 cm cube above the goal, not the whole workspace.
+_PI = 3.14159265
 PEG_INSERT_CONFIG = PoseTaskConfig(
-    target_pose=(0.40, 0.10, 0.045, 3.14159, 0.0, 0.0),
-    reset_pose=(0.40, 0.10, 0.22, 3.14159, 0.0, 0.0),
-    reward_threshold=(0.008, 0.008, 0.008, 0.15, 0.15, 0.3),
-    action_scale=(0.02, 0.05, 1.0),
+    # peg_env/config.py: RESET = TARGET + (0,0,0.1); threshold 1 cm / 0.2 rad
+    target_pose=(0.40, 0.10, 0.045, _PI, 0.0, 0.0),
+    reset_pose=(0.40, 0.10, 0.145, _PI, 0.0, 0.0),
+    reward_threshold=(0.01, 0.01, 0.01, 0.2, 0.2, 0.2),
+    action_scale=(0.02, 0.1, 1.0),
     random_xy_range=0.05,
+    random_rz_range=_PI / 6,
     gripper_penalty=0.0,
+    cartesian_lo=(0.35, 0.05, 0.045),
+    cartesian_hi=(0.45, 0.15, 0.145),
+    rot_lo=(_PI - 0.01, -0.01, -_PI / 6),
+    rot_hi=(_PI + 0.01, 0.01, _PI / 6),
 )
 PCB_INSERT_CONFIG = PoseTaskConfig(
-    target_pose=(0.45, -0.05, 0.035, 3.14159, 0.0, 0.0),
-    reset_pose=(0.45, -0.05, 0.15, 3.14159, 0.0, 0.0),
-    reward_threshold=(0.004, 0.004, 0.004, 0.1, 0.1, 0.2),
-    action_scale=(0.01, 0.03, 1.0),
-    random_xy_range=0.02,
+    # pcb_env/config.py: RESET = TARGET + (0,0,0.04); tighter thresholds,
+    # z box [target-0.005, target+0.05], roll/pitch +-0.05, yaw +-pi/9
+    target_pose=(0.45, -0.05, 0.035, _PI, 0.0, 0.0),
+    reset_pose=(0.45, -0.05, 0.075, _PI, 0.0, 0.0),
+    reward_threshold=(0.005, 0.005, 0.003, 0.1, 0.1, 0.1),
+    action_scale=(0.02, 0.2, 1.0),
+    random_xy_range=0.05,
+    random_rz_range=_PI / 9,
+    cartesian_lo=(0.40, -0.10, 0.030),
+    cartesian_hi=(0.50, 0.00, 0.085),
+    rot_lo=(_PI - 0.05, -0.05, -_PI / 9),
+    rot_hi=(_PI + 0.05, 0.05, _PI / 9),
 )
 CABLE_ROUTE_CONFIG = PoseTaskConfig(
-    target_pose=(0.38, 0.15, 0.08, 3.14159, 0.0, 0.5),
-    reset_pose=(0.38, 0.0, 0.20, 3.14159, 0.0, 0.0),
-    reward_threshold=(0.01, 0.01, 0.01, 0.2, 0.2, 0.2),
-    action_scale=(0.02, 0.08, 1.0),
-    random_xy_range=0.04,
+    # cable_env/config.py: reward from a learned classifier (threshold zeros
+    # there); here a pose threshold stands in. Box: xy +-0.1, z +0.1,
+    # roll/pitch pinned, yaw +-pi/6.
+    target_pose=(0.38, 0.15, 0.08, _PI, 0.0, 0.3),
+    reset_pose=(0.38, 0.10, 0.18, _PI, 0.0, 0.0),
+    reward_threshold=(0.02, 0.02, 0.02, 0.2, 0.2, 0.2),
+    action_scale=(0.05, 0.3, 1.0),
+    random_xy_range=0.05,
     random_rz_range=0.2,
+    cartesian_lo=(0.28, 0.05, 0.079),
+    cartesian_hi=(0.48, 0.25, 0.28),
+    rot_lo=(_PI - 0.01, -0.01, -_PI / 6),
+    rot_hi=(_PI + 0.01, 0.01, _PI / 6),
 )
 
 
@@ -128,6 +159,23 @@ class PandaPoseTaskEnv:
             angle = jnp.linalg.norm(drot) + 1e-9
             dq = quat_from_axis_angle(drot / angle, angle)
             nquat = quat_mul(dq, state.physics.mocap_quat)
+            # euler safety box (reference clip_safety_box rot dims,
+            # franka_env.py:167-189): unwrap each euler angle toward the box
+            # center (2pi-periodic), then clip.
+            import numpy as _np
+
+            rot_lo = jnp.asarray(cfg.rot_lo)
+            rot_hi = jnp.asarray(cfg.rot_hi)
+            # static check on the python config (not traced)
+            if _np.any(_np.asarray(cfg.rot_lo) > -3.15) or _np.any(
+                _np.asarray(cfg.rot_hi) < 3.15
+            ):
+                eul = quat_to_euler(nquat)
+                center = 0.5 * (rot_lo + rot_hi)
+                two_pi = 2.0 * jnp.pi
+                eul = eul + two_pi * jnp.round((center - eul) / two_pi)
+                eul = jnp.clip(eul, rot_lo, rot_hi)
+                nquat = euler_to_quat(eul)
         else:
             nquat = state.physics.mocap_quat
         g = state.physics.grip_ctrl / 255.0

@@ -52,6 +52,7 @@ class WorkloadConfig:
     demo_fraction: float = 0.0  # 0.5 = RLPD 50/50
     num_demos: int = 20
     intervention_prob: float = 0.0
+    intervention_mode: str = "step"  # "episode" = expert owns whole episodes
 
     # transport (async mode; reference launcher.py:171-177)
     ip: str = "127.0.0.1"
@@ -86,6 +87,7 @@ class WorkloadConfig:
             buffer_capacity=self.buffer_capacity,
             demo_fraction=self.demo_fraction,
             intervention_prob=self.intervention_prob,
+            intervention_mode=self.intervention_mode,
         )
 
     @classmethod
@@ -171,7 +173,8 @@ PRESETS = {
         num_envs=64,
         utd_ratio=4,
         demo_fraction=0.5,
-        intervention_prob=0.05,
+        intervention_prob=0.3,
+        intervention_mode="episode",
         total_env_steps=200_000,
     ),
     # reference examples/async_bin_relocation_fwbw_drq (dual policies)

@@ -41,6 +41,9 @@ class FwBwConfig(NamedTuple):
     buffer_capacity: int = 100_000
     demo_fraction: float = 0.0
     intervention_prob: float = 0.0  # scripted relocation expert override
+    # "step" = per-step Bernoulli; "episode" = the expert owns whole episodes
+    # (the reference's human-takeover shape — see loop.py LoopConfig)
+    intervention_mode: str = "step"
 
 
 class TaskCarry(NamedTuple):
@@ -53,6 +56,7 @@ class TaskCarry(NamedTuple):
     ep_count: jnp.ndarray
     ret_sum: jnp.ndarray
     succ_sum: jnp.ndarray
+    intervening: jnp.ndarray  # (n,) bool: expert owns this env's episode
 
 
 class FwBwCarry(NamedTuple):
@@ -76,8 +80,13 @@ def make_fwbw_loop(
     n = config.envs_per_task
 
     def _init_task(env, agent, rng, demo_state):
+        rng, int_key = jax.random.split(rng)
         keys = jax.random.split(rng, n)
         env_states, obs = jax.vmap(env.reset)(keys)
+        episode_mode = config.intervention_mode == "episode"
+        intervening = (
+            jax.random.uniform(int_key, (n,)) < config.intervention_prob
+        ) if episode_mode else jnp.zeros((n,), bool)
         return TaskCarry(
             agent=agent,
             env_states=env_states,
@@ -88,6 +97,7 @@ def make_fwbw_loop(
             ep_count=jnp.zeros((), jnp.int32),
             ret_sum=jnp.zeros(()),
             succ_sum=jnp.zeros(()),
+            intervening=intervening,
         )
 
     @jax.jit
@@ -103,7 +113,9 @@ def make_fwbw_loop(
         return _init_all(fw_agent, bw_agent, rng, fw_demo, bw_demo)
 
     def _step_task(env, tc: TaskCarry, env_steps, rng) -> Tuple[TaskCarry, dict]:
-        act_key, rand_key, int_key, sample_key = jax.random.split(rng, 4)
+        act_key, rand_key, int_key, sample_key, int_reset_key = jax.random.split(
+            rng, 5
+        )
         random_actions = jax.random.uniform(
             rand_key, (n, env.ACTION_DIM), minval=-1.0, maxval=1.0
         )
@@ -120,7 +132,12 @@ def make_fwbw_loop(
                     s, tgt, jnp.asarray(env.config.action_scale)
                 )
             )(tc.env_states)
-            intervene = jax.random.uniform(int_key, (n,)) < config.intervention_prob
+            if config.intervention_mode == "episode":
+                intervene = tc.intervening
+            else:
+                intervene = (
+                    jax.random.uniform(int_key, (n,)) < config.intervention_prob
+                )
             # store the EXPERT action when it drove the env
             # (reference async_drq_randomized.py:177-179)
             actions = jnp.where(intervene[:, None], expert, actions)
@@ -147,6 +164,12 @@ def make_fwbw_loop(
         ret_sum = tc.ret_sum + jnp.where(done_mask, ep_return, 0.0).sum()
         succ_sum = tc.succ_sum + jnp.where(done_mask, info["success"], 0.0).sum()
         ep_return = jnp.where(done_mask, 0.0, ep_return)
+        intervening = tc.intervening
+        if config.intervention_prob > 0.0 and config.intervention_mode == "episode":
+            fresh_draw = (
+                jax.random.uniform(int_reset_key, (n,)) < config.intervention_prob
+            )
+            intervening = jnp.where(done_mask, fresh_draw, intervening)
 
         # learner
         def do_updates(operand):
@@ -196,6 +219,7 @@ def make_fwbw_loop(
             ep_count=ep_count,
             ret_sum=ret_sum,
             succ_sum=succ_sum,
+            intervening=intervening,
         )
         metrics = {
             "reward_mean": rewards.mean(),

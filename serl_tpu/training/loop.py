@@ -42,10 +42,18 @@ class LoopConfig(NamedTuple):
     buffer_capacity: int = 200_000
     demo_fraction: float = 0.0  # >0 enables 50/50-style RLPD demo mixing
     # expert interventions (reference SpacemouseIntervention, wrappers.py
-    # :171-221): with this per-step probability the scripted expert overrides
-    # the policy and the *expert's* action is stored (reference behavior of
-    # storing info["intervene_action"], async_drq_randomized.py:177-179)
+    # :171-221): the scripted expert overrides the policy and the *expert's*
+    # action is stored (reference behavior of storing
+    # info["intervene_action"], async_drq_randomized.py:177-179).
+    # intervention_mode "step": independent per-step Bernoulli(prob) — noise
+    # injection. "episode": with prob per episode the expert takes over the
+    # WHOLE episode — the reference's actual human behavior (a spacemouse
+    # takeover lasts a full maneuver, wrappers.py:171-221 keeps overriding
+    # while the device is moving), and the thing that makes sparse-reward
+    # recipes (peg/PCB) learn: it puts successful on-policy episodes in the
+    # online buffer.
     intervention_prob: float = 0.0
+    intervention_mode: str = "step"
 
 
 class LoopCarry(NamedTuple):
@@ -60,6 +68,7 @@ class LoopCarry(NamedTuple):
     ep_count: jnp.ndarray  # () completed episodes
     ret_sum: jnp.ndarray  # () sum of completed episode returns
     succ_sum: jnp.ndarray  # () sum of per-episode max success
+    intervening: jnp.ndarray  # (N,) bool: expert owns this env's episode
 
 
 def make_fused_loop(
@@ -102,8 +111,13 @@ def make_fused_loop(
         return env_states, to_buffer_obs(obs)
 
     def init_fn(agent, rng, demo_state=None):
-        rng, env_key = jax.random.split(rng)
+        rng, env_key, int_key = jax.random.split(rng, 3)
         env_states, obs = _reset_all(env_key)
+        episode_mode = config.intervention_mode == "episode"
+        intervening = (
+            jax.random.uniform(int_key, (config.num_envs,))
+            < config.intervention_prob
+        ) if episode_mode else jnp.zeros((config.num_envs,), bool)
         return LoopCarry(
             agent=agent,
             env_states=env_states,
@@ -117,10 +131,13 @@ def make_fused_loop(
             ep_count=jnp.zeros((), jnp.int32),
             ret_sum=jnp.zeros(()),
             succ_sum=jnp.zeros(()),
+            intervening=intervening,
         )
 
     def iter_body(carry: LoopCarry, _) -> Tuple[LoopCarry, dict]:
-        rng, act_key, rand_key, sample_key = jax.random.split(carry.rng, 4)
+        rng, act_key, rand_key, sample_key, int_reset_key = jax.random.split(
+            carry.rng, 5
+        )
 
         # ---- actor: one step for every env ----
         random_actions = jax.random.uniform(
@@ -132,6 +149,7 @@ def make_fused_loop(
         actions = jnp.where(
             carry.env_steps < config.random_steps, random_actions, policy_actions
         )
+        intervening = carry.intervening
         if config.intervention_prob > 0.0:
             if expert_fn is None:
                 from serl_tpu.envs.scripted_expert import expert_action
@@ -141,10 +159,13 @@ def make_fused_loop(
                 _expert = expert_fn
             int_key, noise_key = jax.random.split(act_key)
             expert_actions = jax.vmap(_expert)(carry.env_states)
-            intervene = (
-                jax.random.uniform(int_key, (config.num_envs,))
-                < config.intervention_prob
-            )
+            if config.intervention_mode == "episode":
+                intervene = carry.intervening
+            else:
+                intervene = (
+                    jax.random.uniform(int_key, (config.num_envs,))
+                    < config.intervention_prob
+                )
             actions = jnp.where(intervene[:, None], expert_actions, actions)
 
         env_states, next_obs_d, rewards, dones, info = jax.vmap(
@@ -178,6 +199,12 @@ def make_fused_loop(
             done_mask, info["success"], 0.0
         ).sum()
         ep_return = jnp.where(done_mask, 0.0, ep_return)
+        if config.intervention_prob > 0.0 and config.intervention_mode == "episode":
+            fresh_draw = (
+                jax.random.uniform(int_reset_key, (config.num_envs,))
+                < config.intervention_prob
+            )
+            intervening = jnp.where(done_mask, fresh_draw, intervening)
 
         env_steps = carry.env_steps + config.num_envs
 
@@ -252,6 +279,7 @@ def make_fused_loop(
             ep_count=ep_count,
             ret_sum=ret_sum,
             succ_sum=succ_sum,
+            intervening=intervening,
         )
         return new_carry, metrics
 

@@ -86,12 +86,19 @@ def test_pose_task_sparse_reward_and_success():
     step = jax.jit(env.step)
     s, obs = reset(jax.random.PRNGKey(0))
     assert obs["state"]["tcp_pose"].shape == (6,)
-    tgt = np.asarray(PEG_INSERT_CONFIG.target_pose)
+    # the reference-shaped config randomizes reset yaw (RANDOM_RZ_RANGE), so
+    # the driver must steer orientation too — use the scripted pose expert
+    from serl_tpu.envs.scripted_expert import pose_expert_action
+
+    cfg = PEG_INSERT_CONFIG
+    expert = jax.jit(
+        lambda st: pose_expert_action(
+            st, jnp.asarray(cfg.target_pose), jnp.asarray(cfg.action_scale)
+        )
+    )
     done = 0.0
     for i in range(60):
-        dpos = np.clip((tgt[:3] - np.asarray(s.physics.mocap_pos)) / 0.02, -1, 1)
-        a = jnp.asarray(np.r_[dpos, 0, 0, 0, 0], jnp.float32)
-        s, obs, r, done, info = step(s, a)
+        s, obs, r, done, info = step(s, expert(s))
         if float(done) > 0.5:
             break
     assert float(info["success"]) == 1.0

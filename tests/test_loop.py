@@ -149,3 +149,56 @@ def test_fused_loop_with_interventions():
     carry = init_fn(agent, jax.random.PRNGKey(0))
     carry, metrics = run_chunk(carry, 4)
     assert int(carry.env_steps) == 16
+
+
+def test_episode_scoped_interventions_store_expert_actions():
+    """intervention_mode="episode": the expert owns whole episodes (the
+    reference's human-takeover shape, SpacemouseIntervention wrappers.py
+    :171-221). With prob=1.0 every stored action must be the expert's; the
+    flag persists across steps within an episode."""
+    import jax.numpy as jnp
+
+    from serl_tpu.training.launcher import make_state_sim_experiment
+
+    marker = jnp.asarray([0.123, -0.456, 0.789, 0.5])
+    env, agent, rb, config, init_fn, run_chunk = make_state_sim_experiment(
+        seed=0,
+        num_envs=4,
+        batch_size=8,
+        utd_ratio=2,
+        updates_per_iter=1,
+        training_starts=10**9,
+        random_steps=0,
+        buffer_capacity=256,
+        intervention_prob=1.0,
+        intervention_mode="episode",
+    )
+    from serl_tpu.training.loop import make_fused_loop
+
+    init_fn, run_chunk = make_fused_loop(
+        env, rb, config, expert_fn=lambda s: marker
+    )
+    carry = init_fn(agent, jax.random.PRNGKey(0))
+    assert bool(carry.intervening.all())
+    carry, _ = run_chunk(carry, 3)
+    stored = np.asarray(carry.rb_state.data["actions"][:3])  # (slots, streams, 4)
+    assert np.allclose(stored, np.asarray(marker), atol=1e-6)
+
+    # prob=0: no interventions, flags all false
+    env, agent, rb, config, init_fn, run_chunk = make_state_sim_experiment(
+        seed=0,
+        num_envs=4,
+        batch_size=8,
+        utd_ratio=2,
+        updates_per_iter=1,
+        training_starts=10**9,
+        random_steps=0,
+        buffer_capacity=256,
+        intervention_prob=0.0,
+        intervention_mode="episode",
+    )
+    carry = init_fn(agent, jax.random.PRNGKey(0))
+    assert not bool(carry.intervening.any())
+    carry, _ = run_chunk(carry, 2)
+    stored = np.asarray(carry.rb_state.data["actions"][:2])
+    assert not np.allclose(stored, np.asarray(marker), atol=1e-3)
