@@ -58,28 +58,34 @@ def main():
         s, jnp.asarray(cfg.target_pose), jnp.asarray(cfg.action_scale)
     )
 
-    # ---- demos: scripted-expert episodes, successful ones kept ----
+    # ---- demos: scripted-expert streams with auto-reset (every transition
+    # is a real approach step; the env early-terminates on success, so
+    # without auto-reset ~77% of demo rows would be degenerate sit-at-goal
+    # terminals) ----
     demo_state = None
     if args.num_demos > 0:
         trans = demo_lib.collect_episodes(
             env,
             lambda states, rng: jax.vmap(expert)(states),
             jax.random.PRNGKey(args.seed + 1000),
-            num_episodes=args.num_demos * 2,
+            num_episodes=args.num_demos,
             episode_len=cfg.time_limit_steps,
+            auto_reset=True,
         )
-        trans = demo_lib.select_demo_episodes(
-            trans, args.num_demos, episode_len=cfg.time_limit_steps
-        )
-        succ = float(jnp.mean(trans.pop("success")))
-        ex = {k: jax.tree.map(lambda x: x[0], v) for k, v in trans.items()}
+        succ_steps = float(jnp.mean(trans.pop("success")))
+        episodes = float(jnp.sum(trans["dones"]))
+        ex = {
+            k: jax.tree.map(lambda x: x[0], v)
+            for k, v in trans.items()
+            if k != "ep_ids"
+        }
         demo_rb = ReplayBuffer(ex, capacity=args.num_demos * cfg.time_limit_steps)
         demo_state = demo_lib.demos_to_buffer(
             demo_rb, trans, episode_len=cfg.time_limit_steps
         )
         print(
             f"loaded {args.num_demos * cfg.time_limit_steps} demo transitions "
-            f"(mean success {succ:.2f})",
+            f"({episodes:.0f} episodes, success-step frac {succ_steps:.2f})",
             file=out,
             flush=True,
         )

@@ -29,9 +29,17 @@ def collect_episodes(
     num_episodes: int,
     episode_len: int = 100,
     pixel_obs: bool = False,
+    auto_reset: bool = False,
 ):
     """Roll out `num_episodes` lockstep episodes; returns a transitions dict
-    of (num_episodes * episode_len, ...) arrays (+ ep_ids, successes)."""
+    of (num_episodes * episode_len, ...) arrays (+ ep_ids, successes).
+
+    `auto_reset=False` (default): one fixed-length episode per stream — the
+    shape `select_demo_episodes` expects. For envs that early-terminate on
+    success this wastes most of the stream sitting at the goal; pass
+    `auto_reset=True` to chain fresh episodes within each stream instead
+    (per-row `ep_ids` mark the boundaries, exactly like the online buffer),
+    which makes every demo transition a real approach step."""
     keys = jax.random.split(rng, num_episodes)
 
     to_obs = (lambda o: serl_obs(o)) if pixel_obs else (lambda o: flatten_obs(o))
@@ -43,17 +51,29 @@ def collect_episodes(
         def body(carry, t):
             states, obs = carry
             actions = policy_fn(states, jax.random.fold_in(keys[0], t))
-            new_states, next_obs, rew, done, info = jax.vmap(env.step)(
-                states, actions
-            )
+            if auto_reset:
+                new_states, next_obs, rew, done, info = jax.vmap(
+                    env.step_auto_reset
+                )(states, actions)
+                stored_next = to_obs(info["final_obs"])
+                row_ep = states.ep_id * num_episodes + jnp.arange(
+                    num_episodes, dtype=jnp.int32
+                )
+            else:
+                new_states, next_obs, rew, done, info = jax.vmap(env.step)(
+                    states, actions
+                )
+                stored_next = to_obs(next_obs)
+                row_ep = jnp.arange(num_episodes, dtype=jnp.int32)
             tr = {
                 "observations": to_obs(obs),
                 "actions": actions,
-                "next_observations": to_obs(next_obs),
+                "next_observations": stored_next,
                 "rewards": rew,
                 "masks": 1.0 - done,
                 "dones": done,
                 "success": info["success"],
+                "ep_ids": row_ep,
             }
             return (new_states, next_obs), tr
 
@@ -63,14 +83,16 @@ def collect_episodes(
         return trs  # leaves: (T, N, ...)
 
     trs = rollout(keys)
-    # (T, N, ...) -> (N*T, ...) with episode-major order
+    # (T, N, ...) -> (N*T, ...) with stream-major order
     def fold(x):
         x = jnp.swapaxes(x, 0, 1)  # (N, T, ...)
         return x.reshape((-1,) + x.shape[2:])
 
     out = jax.tree.map(fold, trs)
-    ep_ids = jnp.repeat(jnp.arange(num_episodes, dtype=jnp.int32), episode_len)
-    out["ep_ids"] = ep_ids
+    if not auto_reset:
+        out["ep_ids"] = jnp.repeat(
+            jnp.arange(num_episodes, dtype=jnp.int32), episode_len
+        )
     return out
 
 

@@ -48,12 +48,120 @@ def buffer_sharded(mesh: Mesh, axis: str = "dp") -> NamedSharding:
     return NamedSharding(mesh, P(None, axis))
 
 
-def carry_shardings(carry, mesh: Mesh, axis: str = "dp"):
-    """A LoopCarry-shaped pytree of NamedShardings, field by field."""
-    rep = replicated(mesh)
-    env = batch_sharded(mesh, axis)
-    buf = buffer_sharded(mesh, axis)
+# ---------------------------------------------------------------------------
+# Declarative per-field layout specs.
+#
+# Every carry field MUST appear in its spec; `_spec_shardings` raises on any
+# field the spec does not name (round 2 regressed exactly here: a new
+# `LoopCarry.intervening` field was silently passed through `_replace` as a
+# raw array and crashed `jax.device_put`). Adding a carry field without
+# declaring its layout is now a hard error, covered by
+# tests/test_sharding.py::test_unknown_carry_field_rejected.
+#
+# Spec values: "rep" (replicated), "env" (leading env axis sharded over dp),
+# "buffer" (the nested ReplayBufferState layout), "task" (nested TaskCarry).
+# ---------------------------------------------------------------------------
 
+LOOP_CARRY_SPEC = {
+    "agent": "rep",
+    "env_states": "env",
+    "obs": "env",
+    "rb_state": "buffer",
+    "demo_state": "rep",  # small, read-only, sampled by every shard
+    "rng": "rep",
+    "env_steps": "rep",
+    "ep_return": "env",
+    "ep_count": "rep",
+    "ret_sum": "rep",
+    "succ_sum": "rep",
+    "intervening": "env",  # per-env expert-takeover flag
+}
+
+# ReplayBufferState fields (serl_tpu/data/replay_buffer.py): data rides the
+# (slots, streams) layout with streams sharded; cursors are scalars.
+BUFFER_STATE_SPEC = {
+    "data": "buffer_data",
+    "insert_slot": "rep",
+    "size": "rep",
+    "ep_id": "buffer_data",
+}
+
+TASK_CARRY_SPEC = {
+    "agent": "rep",
+    "env_states": "env",
+    "obs": "env",
+    "rb_state": "buffer",
+    "demo_state": "rep",
+    "ep_return": "env",
+    "ep_count": "rep",
+    "ret_sum": "rep",
+    "succ_sum": "rep",
+    "intervening": "env",
+}
+
+FWBW_CARRY_SPEC = {
+    "fw": "task",
+    "bw": "task",
+    "rng": "rep",
+    "env_steps": "rep",
+}
+
+
+def _fill(tree, sh):
+    return jax.tree.map(lambda _: sh, tree)
+
+
+def _buffer_state_shardings(rb_state, rep, buf):
+    fields = set(type(rb_state).__dataclass_fields__)
+    unknown = fields - set(BUFFER_STATE_SPEC)
+    if unknown:
+        raise ValueError(
+            f"ReplayBufferState field(s) {sorted(unknown)} have no declared "
+            "sharding — add them to BUFFER_STATE_SPEC "
+            "(serl_tpu/distributed/sharding.py)"
+        )
+    kinds = {"buffer_data": buf, "rep": rep}
+    return rb_state.replace(
+        **{
+            name: _fill(getattr(rb_state, name), kinds[kind])
+            for name, kind in BUFFER_STATE_SPEC.items()
+            if name in fields
+        }
+    )
+
+
+def _spec_shardings(carry, spec, rep, env, buf):
+    """Build a carry-shaped tree of shardings from a per-field spec.
+
+    Raises on any carry field the spec does not name, so a new field cannot
+    silently leak raw arrays into the shardings tree."""
+    unknown = set(carry._fields) - set(spec)
+    if unknown:
+        raise ValueError(
+            f"{type(carry).__name__} field(s) {sorted(unknown)} have no "
+            "declared sharding — add them to the spec in "
+            "serl_tpu/distributed/sharding.py"
+        )
+    out = {}
+    for name in carry._fields:
+        kind = spec[name]
+        value = getattr(carry, name)
+        if value is None:
+            out[name] = None
+        elif kind == "rep":
+            out[name] = _fill(value, rep)
+        elif kind == "env":
+            out[name] = _fill(value, env)
+        elif kind == "buffer":
+            out[name] = _buffer_state_shardings(value, rep, buf)
+        elif kind == "task":
+            out[name] = _spec_shardings(value, TASK_CARRY_SPEC, rep, env, buf)
+        else:
+            raise ValueError(f"unknown sharding kind {kind!r} for {name}")
+    return type(carry)(**out)
+
+
+def _check_divisible(carry, mesh: Mesh, axis: str):
     n_shards = mesh.shape[axis]
     num_envs = jax.tree.leaves(carry.env_states)[0].shape[0]
     if num_envs % n_shards != 0:
@@ -66,37 +174,41 @@ def carry_shardings(carry, mesh: Mesh, axis: str = "dp"):
             f"buffer streams {streams} must divide evenly over {n_shards} shards"
         )
 
-    def fill(tree, sh):
-        return jax.tree.map(lambda _: sh, tree)
 
-    return carry._replace(
-        agent=fill(carry.agent, rep),
-        env_states=fill(carry.env_states, env),
-        obs=fill(carry.obs, env),
-        rb_state=carry.rb_state.replace(
-            data=fill(carry.rb_state.data, buf),
-            insert_slot=rep,
-            size=rep,
-            ep_id=buf,
-        ),
-        demo_state=(
-            None if carry.demo_state is None else fill(carry.demo_state, rep)
-        ),
-        rng=rep,
-        env_steps=rep,
-        ep_return=fill(carry.ep_return, env),
-        ep_count=rep,
-        ret_sum=rep,
-        succ_sum=rep,
-    )
+def carry_shardings(carry, mesh: Mesh, axis: str = "dp"):
+    """A LoopCarry-shaped pytree of NamedShardings, field by field."""
+    rep = replicated(mesh)
+    env = batch_sharded(mesh, axis)
+    buf = buffer_sharded(mesh, axis)
+    _check_divisible(carry, mesh, axis)
+    return _spec_shardings(carry, LOOP_CARRY_SPEC, rep, env, buf)
 
 
-def shard_carry(carry, mesh: Mesh, axis: str = "dp"):
-    """Place a LoopCarry on the mesh with the explicit layout above."""
-    shardings = carry_shardings(carry, mesh, axis)
+def fwbw_carry_shardings(carry, mesh: Mesh, axis: str = "dp"):
+    """FwBwCarry layout: each task group's envs/buffer sharded over dp,
+    both agents replicated (serl_tpu/training/fwbw.py)."""
+    rep = replicated(mesh)
+    env = batch_sharded(mesh, axis)
+    buf = buffer_sharded(mesh, axis)
+    _check_divisible(carry.fw, mesh, axis)
+    _check_divisible(carry.bw, mesh, axis)
+    return _spec_shardings(carry, FWBW_CARRY_SPEC, rep, env, buf)
+
+
+def _device_put_tree(carry, shardings):
     return jax.tree.map(
         lambda x, s: None if x is None else jax.device_put(x, s),
         carry,
         shardings,
         is_leaf=lambda x: x is None,
     )
+
+
+def shard_carry(carry, mesh: Mesh, axis: str = "dp"):
+    """Place a LoopCarry on the mesh with the explicit layout above."""
+    return _device_put_tree(carry, carry_shardings(carry, mesh, axis))
+
+
+def shard_fwbw_carry(carry, mesh: Mesh, axis: str = "dp"):
+    """Place a FwBwCarry on the mesh with the explicit layout above."""
+    return _device_put_tree(carry, fwbw_carry_shardings(carry, mesh, axis))

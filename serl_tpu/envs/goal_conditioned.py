@@ -117,12 +117,25 @@ class GoalConditionedEnv:
 
 
 def goal_distance_reward(
-    key: str, threshold: float = 0.05, sparse: bool = True
+    key: str, threshold: float = 0.05, sparse: bool = True,
+    goal_key: Optional[str] = None,
 ) -> Callable:
-    """Sparse/dense goal-reaching reward on one observation key."""
+    """Sparse/dense goal-reaching reward on one observation key.
+
+    `key` may be a `/`-joined path into a nested obs dict (e.g.
+    "state/block_pos"); `goal_key` defaults to the path's last component."""
+
+    def lookup(d, path):
+        for part in path.split("/"):
+            d = d[part]
+        return d
+
+    gkey = goal_key if goal_key is not None else key.split("/")[-1]
 
     def fn(obs: Dict, goal: Dict) -> jnp.ndarray:
-        d = jnp.linalg.norm((obs[key] - goal[key]).reshape(-1))
+        d = jnp.linalg.norm(
+            (lookup(obs, key) - lookup(goal, gkey)).reshape(-1)
+        )
         return (d < threshold).astype(jnp.float32) if sparse else -d
 
     return fn

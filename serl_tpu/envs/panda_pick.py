@@ -45,6 +45,12 @@ class PandaPickCubeEnv:
         self.image_obs = image_obs
         self.render_size = render_size
 
+    @property
+    def time_limit_steps(self) -> int:
+        """Episode length (reference max_episode_steps=100,
+        franka_sim/__init__.py:10-20). Read by `training.loop.evaluate`."""
+        return TIME_LIMIT_STEPS
+
     # ------------------------------------------------------------------ #
 
     def reset(self, rng: jnp.ndarray) -> Tuple[EnvState, Dict]:

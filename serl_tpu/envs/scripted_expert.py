@@ -76,13 +76,17 @@ def pose_expert_action(
 
     dpos = jnp.clip((goal - mocap) / action_scale[0], -1.0, 1.0)
     # steer orientation to the target euler (resets may randomize yaw —
-    # reference RANDOM_RZ_RANGE), keep gripper
-    from serl_tpu.envs.wrappers import quat_to_euler
+    # reference RANDOM_RZ_RANGE), keep gripper. The env composes action[3:6]
+    # as a world-frame axis-angle rotation (tasks.py step), so the exact
+    # error is the axis-angle log of the relative rotation
+    # target * conj(current) — not the per-axis euler difference, which is
+    # only first-order correct for combined roll/pitch/yaw errors.
+    from serl_tpu.envs.physics.math3d import quat_conj, quat_mul, quat_to_axis_angle
+    from serl_tpu.envs.wrappers import euler_to_quat
 
     tgt_eul = jnp.asarray(target_pose[3:6], jnp.float32)
-    eul = quat_to_euler(phys.mocap_quat)
-    err = tgt_eul - eul
-    err = err - 2.0 * jnp.pi * jnp.round(err / (2.0 * jnp.pi))
+    q_rel = quat_mul(euler_to_quat(tgt_eul), quat_conj(phys.mocap_quat))
+    err = quat_to_axis_angle(q_rel)
     drot = jnp.clip(err / jnp.maximum(action_scale[1], 1e-6), -1.0, 1.0)
     action = jnp.concatenate([dpos, drot, jnp.zeros(1)])
     if rng is not None and noise_scale > 0.0:

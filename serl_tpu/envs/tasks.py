@@ -118,6 +118,12 @@ class PandaPoseTaskEnv:
             image_obs=image_obs, render_size=render_size
         )
 
+    @property
+    def time_limit_steps(self) -> int:
+        """Episode length from the task config (read by
+        `training.loop.evaluate` — not hardcoded)."""
+        return self.config.time_limit_steps
+
     # ------------------------------------------------------------------ #
 
     def reset(self, rng: jnp.ndarray):

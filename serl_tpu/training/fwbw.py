@@ -77,6 +77,11 @@ def make_fwbw_loop(
     init_fn(fw_agent, bw_agent, rng, fw_demo=None, bw_demo=None) -> FwBwCarry
     run_chunk(carry, num_iters) -> (carry, metrics)
     """
+    if config.intervention_mode not in ("step", "episode"):
+        raise ValueError(
+            f"intervention_mode must be 'step' or 'episode', got "
+            f"{config.intervention_mode!r}"
+        )
     n = config.envs_per_task
 
     def _init_task(env, agent, rng, demo_state):

@@ -92,6 +92,11 @@ def make_fused_loop(
     `expert_fn(env_state) -> action` overrides the default scripted pick
     expert for intervention-style training (config.intervention_prob).
     """
+    if config.intervention_mode not in ("step", "episode"):
+        raise ValueError(
+            f"intervention_mode must be 'step' or 'episode', got "
+            f"{config.intervention_mode!r}"
+        )
     pixel_keys = rb.image_keys
     action_dim = getattr(env, "ACTION_DIM", ACTION_DIM)
 
@@ -296,8 +301,10 @@ def evaluate(env: PandaPickCubeEnv, agent: SACAgent, rng, num_episodes: int = 32
 
     Mirrors `serl_launcher/common/evaluation.py:49-64` semantics (mean return,
     success) but batched on device. `pixel_keys` switches obs processing to
-    the SERL pixel convention.
+    the SERL pixel convention. Episode length comes from the env's
+    `time_limit_steps` (100 for all reference tasks).
     """
+    episode_len = int(getattr(env, "time_limit_steps", 100))
     if obs_fn is None:
         if pixel_keys:
             obs_fn = lambda o: add_stack_axis(serl_obs(o), pixel_keys)
@@ -323,7 +330,9 @@ def evaluate(env: PandaPickCubeEnv, agent: SACAgent, rng, num_episodes: int = 32
             jnp.zeros(num_episodes),
             jnp.zeros(num_episodes),
         )
-        (states, obs, ret, succ), _ = jax.lax.scan(body, init, None, length=100)
+        (states, obs, ret, succ), _ = jax.lax.scan(
+            body, init, None, length=episode_len
+        )
         return ret, succ
 
     ret, succ = rollout(agent, keys)

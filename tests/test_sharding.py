@@ -149,6 +149,72 @@ def test_insert_is_fully_shard_local(sharded_setup):
         assert collective not in hlo, f"buffer insert contains {collective}"
 
 
+def test_unknown_carry_field_rejected(sharded_setup):
+    """A carry field without a declared sharding must be a hard error, not a
+    silent pass-through (the round-2 `intervening` regression)."""
+    import collections
+
+    from serl_tpu.training.loop import LoopCarry
+
+    mesh, rb, config, carry, _ = sharded_setup
+    Grown = collections.namedtuple(
+        "GrownLoopCarry", LoopCarry._fields + ("mystery_field",)
+    )
+    grown = Grown(*carry, jnp.zeros((4,)))
+    with pytest.raises(ValueError, match="mystery_field"):
+        carry_shardings(grown, mesh)
+
+
+def test_fwbw_carry_sharded_runs():
+    """Sharded fwbw: both task groups' envs/buffers dp-sharded, both agents
+    replicated; one chunk executes and preserves the layout."""
+    from serl_tpu.data.replay_buffer import ReplayBuffer
+    from serl_tpu.distributed.sharding import shard_fwbw_carry
+    from serl_tpu.envs.tasks import BinRelocationEnv
+    from serl_tpu.training.fwbw import FwBwConfig, make_fwbw_loop
+    from serl_tpu.training.launcher import make_sac_agent
+
+    OBS_DIM, ACT_DIM = 13, 7
+    example = {
+        "observations": jnp.zeros((OBS_DIM,)),
+        "actions": jnp.zeros((ACT_DIM,)),
+        "next_observations": jnp.zeros((OBS_DIM,)),
+        "rewards": jnp.zeros(()),
+        "masks": jnp.zeros(()),
+        "dones": jnp.zeros(()),
+    }
+    mesh = make_mesh(N_DEV)
+    fw_env, bw_env = BinRelocationEnv(0), BinRelocationEnv(1)
+    cfg = FwBwConfig(
+        envs_per_task=N_DEV,
+        batch_size=8,
+        utd_ratio=2,
+        training_starts=0,
+        random_steps=0,
+        buffer_capacity=N_DEV * 16,
+        intervention_prob=0.2,
+    )
+    rb = ReplayBuffer(example, capacity=N_DEV * 16)
+    fa = make_sac_agent(0, obs_dim=OBS_DIM, action_dim=ACT_DIM)
+    ba = make_sac_agent(1, obs_dim=OBS_DIM, action_dim=ACT_DIM)
+    init_fn, run_chunk = make_fwbw_loop(fw_env, bw_env, rb, cfg)
+    carry = init_fn(fa, ba, jax.random.PRNGKey(0))
+    carry = shard_fwbw_carry(carry, mesh)
+    with mesh:
+        out, _ = run_chunk(carry, 2)
+    jax.block_until_ready(out.env_steps)
+    env_sh = batch_sharded(mesh)
+    buf_sh = buffer_sharded(mesh)
+    rep_sh = replicated(mesh)
+    for tc in (out.fw, out.bw):
+        for leaf in jax.tree.leaves(tc.env_states):
+            assert leaf.sharding.is_equivalent_to(env_sh, leaf.ndim), leaf.shape
+        for leaf in jax.tree.leaves(tc.rb_state.data):
+            assert leaf.sharding.is_equivalent_to(buf_sh, leaf.ndim), leaf.shape
+        for leaf in jax.tree.leaves(tc.agent.state.params):
+            assert leaf.sharding.is_equivalent_to(rep_sh, leaf.ndim)
+
+
 def test_uneven_envs_rejected():
     env, agent, rb, config, init_fn, run_chunk = make_state_sim_experiment(
         seed=0,
