@@ -29,11 +29,11 @@ from serl_tpu.data.host_buffer import ReplayBufferDataStore, populate_data_store
 from serl_tpu.distributed.transport import (
     QueuedDataStore,
     TrainerClient,
-    TrainerConfig,
     TrainerServer,
 )
 from serl_tpu.envs.panda_pick import PandaPickCubeEnv
 from serl_tpu.envs.wrappers import add_stack_axis, serl_obs
+from serl_tpu.training.config import WorkloadConfig
 from serl_tpu.training.launcher import make_drq_agent
 from serl_tpu.utils.timer import Timer
 
@@ -60,24 +60,24 @@ def _example_transition(image_size):
     }
 
 
-def actor_loop(args):
-    env = PandaPickCubeEnv(image_obs=True, render_size=args.image_size)
+def actor_loop(cfg: WorkloadConfig, args):
+    env = PandaPickCubeEnv(image_obs=True, render_size=cfg.image_size)
     reset = jax.jit(env.reset)
     step = jax.jit(env.step)
 
     sample = jax.tree.map(
-        lambda x: jnp.asarray(x)[None], _example_transition(args.image_size)
+        lambda x: jnp.asarray(x)[None], _example_transition(cfg.image_size)
     )
     agent = make_drq_agent(
-        args.seed, sample["observations"], sample["actions"],
-        image_keys=IMAGE_KEYS, encoder_type=args.encoder_type,
+        cfg.seed, sample["observations"], sample["actions"],
+        image_keys=IMAGE_KEYS, encoder_type=cfg.encoder_type,
     )
     agent_box = {"agent": agent}
 
-    config = TrainerConfig(port_number=args.port, broadcast_port=args.port + 1)
     data_store = QueuedDataStore(1000)
     client = TrainerClient(
-        "actor_env", args.ip, config, data_store, wait_for_server=True
+        "actor_env", cfg.ip, cfg.trainer_config(), data_store,
+        wait_for_server=True,
     )
 
     def update_params(params):
@@ -87,7 +87,7 @@ def actor_loop(args):
 
     client.recv_network_callback(update_params)
 
-    rng = jax.random.PRNGKey(args.seed)
+    rng = jax.random.PRNGKey(cfg.seed)
     state, obs_d = reset(rng)
     obs = _pixel_obs(obs_d)
     timer = Timer()
@@ -95,7 +95,7 @@ def actor_loop(args):
     for step_i in range(args.max_steps):
         with timer.context("sample_actions"):
             rng, k = jax.random.split(rng)
-            if step_i < args.random_steps:
+            if step_i < cfg.random_steps:
                 action = jax.random.uniform(k, (4,), minval=-1, maxval=1)
             else:
                 batched = jax.tree.map(lambda x: x[None], obs)
@@ -131,7 +131,7 @@ def actor_loop(args):
                     },
                 )
             ep_ret = 0.0
-        if step_i % args.steps_per_update == 0:
+        if step_i % cfg.steps_per_update == 0:
             client.update()
         if step_i % 1000 == 0:
             print(f"actor step {step_i}, episodes {ep_count}", flush=True)
@@ -157,23 +157,23 @@ def _sample_rlpd(replay, demo, batch_size, utd_ratio, rng):
     return jax.tree.map(mix, online, dem)
 
 
-def learner_loop(args):
+def learner_loop(cfg: WorkloadConfig, args):
     agent = make_drq_agent(
-        args.seed,
+        cfg.seed,
         jax.tree.map(
             lambda x: jnp.asarray(x)[None],
-            _example_transition(args.image_size)["observations"],
+            _example_transition(cfg.image_size)["observations"],
         ),
         jnp.zeros((1, 4)),
         image_keys=IMAGE_KEYS,
-        encoder_type=args.encoder_type,
+        encoder_type=cfg.encoder_type,
     )
 
-    example = _example_transition(args.image_size)
-    replay = ReplayBufferDataStore(example, capacity=args.replay_capacity)
+    example = _example_transition(cfg.image_size)
+    replay = ReplayBufferDataStore(example, capacity=cfg.buffer_capacity)
     demo = None
     if args.demo_path:
-        demo = ReplayBufferDataStore(example, capacity=args.replay_capacity)
+        demo = ReplayBufferDataStore(example, capacity=cfg.buffer_capacity)
         n = populate_data_store(demo, args.demo_path)
         print(f"loaded {n} demo transitions", flush=True)
 
@@ -181,34 +181,33 @@ def learner_loop(args):
         print("actor stats:", payload, flush=True)
         return {"ok": True}
 
-    config = TrainerConfig(port_number=args.port, broadcast_port=args.port + 1)
-    server = TrainerServer(config, request_callback=stats_cb)
+    server = TrainerServer(cfg.trainer_config(), request_callback=stats_cb)
     server.register_data_store("actor_env", replay)
     server.start(threaded=True)
 
     print("waiting for data...", flush=True)
-    while len(replay) < args.training_starts:
+    while len(replay) < cfg.training_starts:
         time.sleep(0.5)
 
     server.publish_network(agent.state.params)
-    rng = np.random.default_rng(args.seed)
+    rng = np.random.default_rng(cfg.seed)
     timer = Timer()
     for update_step in range(args.max_steps):
         with timer.context("sample_replay_buffer"):
             if demo is not None:
                 batch = _sample_rlpd(
-                    replay, demo, args.batch_size, args.critic_actor_ratio, rng
+                    replay, demo, cfg.batch_size, cfg.utd_ratio, rng
                 )
             else:
                 batch = replay.sample(
-                    args.batch_size * args.critic_actor_ratio, rng
+                    cfg.batch_size * cfg.utd_ratio, rng
                 )
         with timer.context("train"):
             agent, info = agent.update_high_utd(
-                batch, utd_ratio=args.critic_actor_ratio
+                batch, utd_ratio=cfg.utd_ratio
             )
             jax.block_until_ready(agent.state.step)
-        if update_step % args.publish_period == 0:
+        if update_step % cfg.publish_period == 0:
             server.publish_network(jax.device_get(agent.state.params))
         if update_step % args.log_period == 0:
             print(
@@ -241,10 +240,28 @@ def main():
     p.add_argument("--replay_capacity", type=int, default=25_000)
     args = p.parse_args()
     assert args.learner != args.actor, "pass exactly one of --learner/--actor"
+    # one unified WorkloadConfig drives both processes (same object the
+    # fused mode consumes; the reference's flag names map onto it)
+    cfg = WorkloadConfig.preset(
+        "drq_rlpd" if args.demo_path else "drq_sim",
+        ip=args.ip,
+        port=args.port,
+        seed=args.seed,
+        image_size=args.image_size,
+        encoder_type=args.encoder_type,
+        batch_size=args.batch_size,
+        utd_ratio=args.critic_actor_ratio,
+        training_starts=args.training_starts,
+        random_steps=args.random_steps,
+        steps_per_update=args.steps_per_update,
+        publish_period=args.publish_period,
+        buffer_capacity=args.replay_capacity,
+        total_env_steps=args.max_steps,
+    )
     if args.learner:
-        learner_loop(args)
+        learner_loop(cfg, args)
     else:
-        actor_loop(args)
+        actor_loop(cfg, args)
 
 
 if __name__ == "__main__":

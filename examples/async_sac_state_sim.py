@@ -27,26 +27,26 @@ from serl_tpu.data.host_buffer import ReplayBufferDataStore
 from serl_tpu.distributed.transport import (
     QueuedDataStore,
     TrainerClient,
-    TrainerConfig,
     TrainerServer,
 )
 from serl_tpu.envs.panda_pick import PandaPickCubeEnv, flatten_obs
+from serl_tpu.training.config import WorkloadConfig
 from serl_tpu.training.launcher import make_sac_agent
 from serl_tpu.utils.timer import Timer
 
 
-def actor_loop(args):
+def actor_loop(cfg: WorkloadConfig, args):
     env = PandaPickCubeEnv()
     reset = jax.jit(env.reset)
     step = jax.jit(env.step)
 
-    agent = make_sac_agent(seed=args.seed)
+    agent = make_sac_agent(seed=cfg.seed)
     agent_box = {"agent": agent}
 
-    config = TrainerConfig(port_number=args.port, broadcast_port=args.port + 1)
     data_store = QueuedDataStore(2000)
     client = TrainerClient(
-        "actor_env", args.ip, config, data_store, wait_for_server=True
+        "actor_env", cfg.ip, cfg.trainer_config(), data_store,
+        wait_for_server=True,
     )
 
     def update_params(params):
@@ -58,14 +58,14 @@ def actor_loop(args):
 
     client.recv_network_callback(update_params)
 
-    rng = jax.random.PRNGKey(args.seed)
+    rng = jax.random.PRNGKey(cfg.seed)
     state, obs_d = reset(rng)
     obs = flatten_obs(obs_d)
     timer = Timer()
     ep_ret, ep_count = 0.0, 0
     for step_i in range(args.max_steps):
         with timer.context("sample_actions"):
-            if step_i < args.random_steps:
+            if step_i < cfg.random_steps:
                 rng, k = jax.random.split(rng)
                 action = jax.random.uniform(k, (4,), minval=-1, maxval=1)
             else:
@@ -96,16 +96,16 @@ def actor_loop(args):
                     {"episode_return": ep_ret, "episodes": ep_count},
                 )
             ep_ret = 0.0
-        if step_i % args.steps_per_update == 0:
+        if step_i % cfg.steps_per_update == 0:
             client.update()
         if step_i % 1000 == 0:
             print(f"actor step {step_i}, episodes {ep_count}", flush=True)
     client.stop()
 
 
-def learner_loop(args):
+def learner_loop(cfg: WorkloadConfig, args):
     env = PandaPickCubeEnv()
-    agent = make_sac_agent(seed=args.seed)
+    agent = make_sac_agent(seed=cfg.seed)
 
     example = {
         "observations": np.zeros(10, np.float32),
@@ -115,24 +115,23 @@ def learner_loop(args):
         "masks": np.float32(0),
         "dones": np.float32(0),
     }
-    replay = ReplayBufferDataStore(example, capacity=args.replay_capacity)
+    replay = ReplayBufferDataStore(example, capacity=cfg.buffer_capacity)
 
     def stats_cb(req_type, payload):
         print("actor stats:", payload, flush=True)
         return {"ok": True}
 
-    config = TrainerConfig(port_number=args.port, broadcast_port=args.port + 1)
-    server = TrainerServer(config, request_callback=stats_cb)
+    server = TrainerServer(cfg.trainer_config(), request_callback=stats_cb)
     server.register_data_store("actor_env", replay)
     server.start(threaded=True)
 
     print("waiting for data...", flush=True)
-    while len(replay) < args.training_starts:
+    while len(replay) < cfg.training_starts:
         time.sleep(0.5)
 
     server.publish_network(agent.state.params)
     iterator = replay.get_iterator(
-        batch_size=args.batch_size * args.critic_actor_ratio
+        batch_size=cfg.batch_size * cfg.utd_ratio
     )
     timer = Timer()
     for update_step in range(args.max_steps):
@@ -140,10 +139,10 @@ def learner_loop(args):
             batch = next(iterator)
         with timer.context("train"):
             agent, info = agent.update_high_utd(
-                batch, utd_ratio=args.critic_actor_ratio
+                batch, utd_ratio=cfg.utd_ratio
             )
             jax.block_until_ready(agent.state.step)
-        if update_step % args.publish_period == 0:
+        if update_step % cfg.publish_period == 0:
             server.publish_network(jax.device_get(agent.state.params))
         if update_step % args.log_period == 0:
             print(
@@ -173,10 +172,27 @@ def main():
     p.add_argument("--replay_capacity", type=int, default=1_000_000)
     args = p.parse_args()
     assert args.learner != args.actor, "pass exactly one of --learner/--actor"
+    # one unified WorkloadConfig drives both processes (same object the
+    # fused mode consumes; --critic_actor_ratio etc. are kept as the
+    # reference's flag names and map onto it)
+    cfg = WorkloadConfig.preset(
+        "state_sim",
+        ip=args.ip,
+        port=args.port,
+        seed=args.seed,
+        batch_size=args.batch_size,
+        utd_ratio=args.critic_actor_ratio,
+        training_starts=args.training_starts,
+        random_steps=args.random_steps,
+        steps_per_update=args.steps_per_update,
+        publish_period=args.publish_period,
+        buffer_capacity=args.replay_capacity,
+        total_env_steps=args.max_steps,
+    )
     if args.learner:
-        learner_loop(args)
+        learner_loop(cfg, args)
     else:
-        actor_loop(args)
+        actor_loop(cfg, args)
 
 
 if __name__ == "__main__":

@@ -123,6 +123,12 @@ class QueuedDataStore:
             items, self._items = self._items, []
         return items
 
+    def requeue(self, items: List[dict]):
+        """Put drained items back at the FRONT (a push failed — e.g. the
+        learner is restarting); oldest items beyond capacity are dropped."""
+        with self._lock:
+            self._items = (items + self._items)[-self.capacity:]
+
     def __len__(self):
         with self._lock:
             return len(self._items)
@@ -180,6 +186,12 @@ class TrainerServer:
                 if store is not None:
                     for tr in msg["transitions"]:
                         store.insert(tr)
+                # ack AFTER the inserts: the client treats a push as
+                # delivered only on this round-trip (bare TCP writes into a
+                # dying connection succeed locally and lose data)
+                lib.ts_server_respond(
+                    self._handle, conn.value, tag.value, b"\x01", 1
+                )
             elif t.value == MSG_REQUEST:
                 resp = {}
                 if self.request_callback is not None:
@@ -259,14 +271,22 @@ class TrainerClient:
                 traceback.print_exc()
 
     def update(self) -> int:
-        """Flush queued transitions to the server's registered data store."""
+        """Flush queued transitions to the server's registered data store.
+
+        If the push cannot be delivered (learner down/restarting — the C++
+        layer already re-dials once), the transitions are re-queued and
+        retried on the next update(): no data loss across a learner restart
+        up to the queue's capacity."""
         if self.data_store is None:
             return 0
         items = self.data_store.drain()
         if not items:
             return 0
         data = ser.dumps({"store": self.name, "transitions": items})
-        self._lib.ts_client_push(self._handle, data, len(data))
+        ok = self._lib.ts_client_push(self._handle, data, len(data))
+        if not ok:
+            self.data_store.requeue(items)
+            return 0
         return len(items)
 
     def request(self, req_type: str, payload) -> Optional[dict]:

@@ -172,3 +172,70 @@ def pose_relative_to(pose_pos, pose_quat, ref_pos, ref_quat):
     )
     rel_quat = quat_mul(inv_q, pose_quat)
     return rel_pos, rel_quat
+
+
+class ClassifierRewardEnv:
+    """In-graph learned-reward wrapper: the env's reward comes from a trained
+    binary classifier on one camera, with early termination on classifier
+    success — the reference `BinaryRewardClassifierWrapper`
+    (serl_robot_infra/franka_env/envs/wrappers.py:13-102, used by the
+    cable-route workload at
+    examples/async_cable_route_drq/async_drq_randomized.py:345-360).
+
+    TPU-native: the classifier forward runs inside the same jit program as
+    the env step (the reference crosses host->GPU per actor step); the
+    classifier params are closure constants (fixed during RL).
+
+    The inner env's own success is preserved in `info["pose_success"]` so a
+    run can report ground-truth task success alongside the learned reward.
+    """
+
+    def __init__(self, env, apply_fn, params, image_key: str = "front",
+                 threshold: float = 0.5):
+        self.env = env
+        self.apply_fn = apply_fn
+        self.params = params
+        self.image_key = image_key
+        self.threshold = threshold
+        self.ACTION_DIM = getattr(env, "ACTION_DIM", 4)
+
+    @property
+    def time_limit_steps(self) -> int:
+        return self.env.time_limit_steps
+
+    def reset(self, rng):
+        return self.env.reset(rng)
+
+    def _classify(self, obs) -> jnp.ndarray:
+        img = obs["images"][self.image_key]
+        logit = self.apply_fn(
+            {"params": self.params}, {self.image_key: img[None]}, train=False
+        )
+        return (jax.nn.sigmoid(logit) >= self.threshold).astype(jnp.float32)
+
+    def step(self, state, action):
+        new_state, obs, _r, _d, info = self.env.step(state, action)
+        succ = self._classify(obs)
+        done = jnp.maximum(
+            (new_state.t >= self.time_limit_steps).astype(jnp.float32), succ
+        )
+        info = dict(info)
+        info["pose_success"] = info.get("success", jnp.zeros(()))
+        info["success"] = succ
+        return new_state, obs, succ, done, info
+
+    def step_auto_reset(self, state, action):
+        stepped, obs, reward, done, info = self.step(state, action)
+        fresh, _ = self.reset(jax.random.fold_in(state.rng, state.ep_id))
+        fresh = fresh._replace(ep_id=state.ep_id + 1)
+        is_done = done > 0.5
+        new_state = jax.tree.map(
+            lambda a, b: jnp.where(is_done, b, a), stepped, fresh
+        )
+        reset_obs = self.env._obs(new_state)
+        out_obs = jax.tree.map(
+            lambda t, r: jnp.where(is_done, r, t), obs, reset_obs
+        )
+        info = dict(info)
+        info["final_obs"] = obs
+        return new_state, out_obs, reward, done, info

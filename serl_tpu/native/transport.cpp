@@ -19,6 +19,7 @@
 // type+tag+payload). All integers little-endian (x86/ARM hosts).
 
 #include <arpa/inet.h>
+#include <cerrno>
 #include <chrono>
 #include <cstdint>
 #include <cstdlib>
@@ -128,6 +129,21 @@ int make_conn(const char* host, int port) {
     ::close(fd);
     return -1;
   }
+  // Reject TCP self-connection: connecting to a localhost port with no
+  // listener can have the kernel pick the TARGET port as the ephemeral
+  // source port, and the socket connects to itself (simultaneous open).
+  // The phantom ESTABLISHED socket then OCCUPIES the port and blocks a
+  // restarted server from binding it — observed in the learner-restart
+  // test as a permanent "could not bind ports" failure.
+  sockaddr_in local{}, peer{};
+  socklen_t ll = sizeof(local), pl = sizeof(peer);
+  if (getsockname(fd, reinterpret_cast<sockaddr*>(&local), &ll) == 0 &&
+      getpeername(fd, reinterpret_cast<sockaddr*>(&peer), &pl) == 0 &&
+      local.sin_port == peer.sin_port &&
+      local.sin_addr.s_addr == peer.sin_addr.s_addr) {
+    ::close(fd);
+    return -1;
+  }
   return fd;
 }
 
@@ -202,13 +218,32 @@ struct Server {
 };
 
 struct Client {
+  // remembered endpoint so a dead connection can be re-established after a
+  // learner restart (the actor keeps pushing; see ts_client_push/request)
+  std::string host;
+  int req_port = 0;
+  int pub_port = 0;
+  bool subscribed = false;
   int req_fd = -1;
   int push_fd = -1;
   int sub_fd = -1;
   std::mutex req_mu;
   std::mutex push_mu;
   uint64_t next_tag = 1;
+  uint64_t next_push_tag = 1;  // guarded by push_mu
 };
+
+// Re-dial one client socket (caller holds the matching mutex). Returns the
+// new fd or -1.
+int redial(Client* c, int* fd, int port) {
+  if (*fd >= 0) {
+    ::close(*fd);
+    *fd = -1;
+  }
+  int nfd = make_conn(c->host.c_str(), port);
+  if (nfd >= 0) *fd = nfd;
+  return *fd;
+}
 
 uint8_t* copy_out(const std::vector<uint8_t>& v) {
   uint8_t* raw = static_cast<uint8_t*>(malloc(v.empty() ? 1 : v.size()));
@@ -312,6 +347,10 @@ void ts_server_destroy(void* sv) {
 void* ts_client_create(const char* host, int req_port, int pub_port,
                        int subscribe) {
   auto* c = new Client();
+  c->host = host;
+  c->req_port = req_port;
+  c->pub_port = pub_port;
+  c->subscribed = subscribe != 0;
   c->req_fd = make_conn(host, req_port);
   c->push_fd = make_conn(host, req_port);
   if (subscribe) c->sub_fd = make_conn(host, pub_port);
@@ -323,37 +362,93 @@ void* ts_client_create(const char* host, int req_port, int pub_port,
 }
 
 // Blocking request/response. Returns 1 on success; caller frees payload.
+// On a dead connection (learner restarted) re-dials once and retries.
 int ts_client_request(void* cv, const uint8_t* data, uint32_t len,
                       uint8_t** payload_out, uint32_t* len_out) {
   auto* c = static_cast<Client*>(cv);
   std::lock_guard<std::mutex> lk(c->req_mu);
-  uint64_t tag = c->next_tag++;
-  if (!write_frame(c->req_fd, MSG_REQUEST, tag, data, len)) return 0;
-  Frame f;
-  while (true) {
-    if (!read_frame(c->req_fd, &f)) return 0;
-    if (f.type == MSG_RESPONSE && f.tag == tag) break;
+  for (int attempt = 0; attempt < 2; ++attempt) {
+    if (c->req_fd < 0 && redial(c, &c->req_fd, c->req_port) < 0) return 0;
+    uint64_t tag = c->next_tag++;
+    if (!write_frame(c->req_fd, MSG_REQUEST, tag, data, len)) {
+      ::close(c->req_fd);
+      c->req_fd = -1;
+      continue;
+    }
+    Frame f;
+    bool ok = true;
+    while (true) {
+      if (!read_frame(c->req_fd, &f)) {
+        ::close(c->req_fd);
+        c->req_fd = -1;
+        ok = false;
+        break;
+      }
+      if (f.type == MSG_RESPONSE && f.tag == tag) break;
+    }
+    if (!ok) continue;
+    *payload_out = copy_out(f.payload);
+    *len_out = static_cast<uint32_t>(f.payload.size());
+    return 1;
   }
-  *payload_out = copy_out(f.payload);
-  *len_out = static_cast<uint32_t>(f.payload.size());
-  return 1;
+  return 0;
 }
 
+// Acknowledged push; re-dials once on a dead connection so an actor
+// survives a learner restart. Returns 1 only after the server ACKs the
+// insert (a bare write into a dying socket "succeeds" into the TCP buffer
+// and the data is silently lost — delivery needs the round-trip). Returns 0
+// if the push was not confirmed (caller should re-queue; duplicates on a
+// lost-ack retry are fine for a replay buffer: at-least-once).
 int ts_client_push(void* cv, const uint8_t* data, uint32_t len) {
   auto* c = static_cast<Client*>(cv);
   std::lock_guard<std::mutex> lk(c->push_mu);
-  return write_frame(c->push_fd, MSG_PUSH, 0, data, len) ? 1 : 0;
+  for (int attempt = 0; attempt < 2; ++attempt) {
+    if (c->push_fd < 0 && redial(c, &c->push_fd, c->req_port) < 0) continue;
+    uint64_t tag = c->next_push_tag++;
+    if (!write_frame(c->push_fd, MSG_PUSH, tag, data, len)) {
+      ::close(c->push_fd);
+      c->push_fd = -1;
+      continue;
+    }
+    timeval tv{10, 0};  // ack deadline
+    setsockopt(c->push_fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
+    Frame f;
+    bool ok = false;
+    while (read_frame(c->push_fd, &f)) {
+      if (f.type == MSG_RESPONSE && f.tag == tag) {
+        ok = true;
+        break;
+      }
+    }
+    if (ok) return 1;
+    ::close(c->push_fd);
+    c->push_fd = -1;
+  }
+  return 0;
 }
 
 // Poll the subscription socket. Returns 1 with payload, 0 on timeout/none.
+// A closed subscription (learner restart) is re-dialed so the next publish
+// from the new server reaches this client.
 int ts_client_poll(void* cv, int timeout_ms, uint8_t** payload_out,
                    uint32_t* len_out) {
   auto* c = static_cast<Client*>(cv);
-  if (c->sub_fd < 0) return 0;
+  if (!c->subscribed) return 0;
+  if (c->sub_fd < 0 && redial(c, &c->sub_fd, c->pub_port) < 0) return 0;
   timeval tv{timeout_ms / 1000, (timeout_ms % 1000) * 1000};
   setsockopt(c->sub_fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
   Frame f;
-  if (!read_frame(c->sub_fd, &f)) return 0;
+  errno = 0;
+  if (!read_frame(c->sub_fd, &f)) {
+    if (errno != EAGAIN && errno != EWOULDBLOCK && errno != EINTR) {
+      // EOF or hard error, not a timeout: drop the socket; re-dialed on the
+      // next poll (keeps this call bounded by timeout_ms)
+      ::close(c->sub_fd);
+      c->sub_fd = -1;
+    }
+    return 0;
+  }
   *payload_out = copy_out(f.payload);
   *len_out = static_cast<uint32_t>(f.payload.size());
   return 1;

@@ -90,6 +90,30 @@ class WorkloadConfig:
             intervention_mode=self.intervention_mode,
         )
 
+    def trainer_config(self):
+        """Transport config for the two-process async mode (reference
+        make_trainer_config, utils/launcher.py:171-177)."""
+        from serl_tpu.distributed.transport import TrainerConfig
+
+        return TrainerConfig(
+            port_number=self.port, broadcast_port=self.port + 1
+        )
+
+    def runner_kwargs(self) -> dict:
+        """Fields consumed by training.runner.run_fused."""
+        return dict(
+            total_env_steps=self.total_env_steps,
+            chunk_iters=self.chunk_iters,
+            eval_period_chunks=self.eval_period_chunks,
+            eval_episodes=self.eval_episodes,
+            seed=self.seed,
+            checkpoint_dir=self.checkpoint_dir,
+            checkpoint_period_chunks=self.checkpoint_period_chunks,
+            success_stop=self.success_stop,
+            pause_file=self.pause_file,
+            resume=self.resume,
+        )
+
     @classmethod
     def preset(cls, name: str, **overrides) -> "WorkloadConfig":
         cfg = dataclasses.replace(PRESETS[name], **overrides)
@@ -136,8 +160,10 @@ class WorkloadConfig:
 
 
 PRESETS = {
-    # reference examples/async_sac_state_sim (run_learner.sh / run_actor.sh)
-    "state_sim": WorkloadConfig(),
+    # reference examples/async_sac_state_sim (run_learner.sh / run_actor.sh);
+    # num_envs/updates_per_iter are the PROVEN solving recipe
+    # (results/sac_state_rlpd_v5e.log: 32 envs, utd 8 x4 per sweep)
+    "state_sim": WorkloadConfig(num_envs=32, updates_per_iter=4),
     # reference examples/async_drq_sim (batch 256, critic:actor 4,
     # discount 0.96, mem-efficient pixel buffer)
     "drq_sim": WorkloadConfig(
@@ -176,6 +202,24 @@ PRESETS = {
         intervention_prob=0.3,
         intervention_mode="episode",
         total_env_steps=200_000,
+    ),
+    # reference examples/async_cable_route_drq (E5): reward from a trained
+    # classifier on the front camera, DrQ on pixels
+    "cable_route": WorkloadConfig(
+        name="cable_route",
+        algo="drq",
+        task="cable_route",
+        image_obs=True,
+        image_size=64,
+        discount=0.96,
+        num_envs=16,
+        utd_ratio=4,
+        updates_per_iter=2,
+        buffer_capacity=50_000,
+        demo_fraction=0.5,
+        intervention_prob=0.3,
+        intervention_mode="episode",
+        total_env_steps=60_000,
     ),
     # reference examples/async_bin_relocation_fwbw_drq (dual policies)
     "fwbw_bin": WorkloadConfig(

@@ -54,6 +54,10 @@ class LoopConfig(NamedTuple):
     # online buffer.
     intervention_prob: float = 0.0
     intervention_mode: str = "step"
+    # anneal the intervention probability linearly to 0 over this many env
+    # steps (None = constant): the reference's human intervenes heavily in
+    # the first minutes and stops once the policy is competent
+    intervention_decay_steps: Optional[int] = None
 
 
 class LoopCarry(NamedTuple):
@@ -99,6 +103,16 @@ def make_fused_loop(
         )
     pixel_keys = rb.image_keys
     action_dim = getattr(env, "ACTION_DIM", ACTION_DIM)
+
+    def _int_prob(env_steps):
+        """Current intervention probability (linear anneal to 0)."""
+        p = config.intervention_prob
+        if config.intervention_decay_steps:
+            frac = 1.0 - env_steps.astype(jnp.float32) / float(
+                config.intervention_decay_steps
+            )
+            p = p * jnp.clip(frac, 0.0, 1.0)
+        return p
 
     def to_buffer_obs(obs_dict):
         return serl_obs(obs_dict) if pixel_keys else flatten_obs(obs_dict)
@@ -169,7 +183,7 @@ def make_fused_loop(
             else:
                 intervene = (
                     jax.random.uniform(int_key, (config.num_envs,))
-                    < config.intervention_prob
+                    < _int_prob(carry.env_steps)
                 )
             actions = jnp.where(intervene[:, None], expert_actions, actions)
 
@@ -207,7 +221,7 @@ def make_fused_loop(
         if config.intervention_prob > 0.0 and config.intervention_mode == "episode":
             fresh_draw = (
                 jax.random.uniform(int_reset_key, (config.num_envs,))
-                < config.intervention_prob
+                < _int_prob(carry.env_steps)
             )
             intervening = jnp.where(done_mask, fresh_draw, intervening)
 

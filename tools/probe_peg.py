@@ -42,6 +42,7 @@ def main():
     p.add_argument("--num_demos", type=int, default=20)
     p.add_argument("--intervention_prob", type=float, default=0.3)
     p.add_argument("--intervention_mode", default="episode")
+    p.add_argument("--intervention_decay_steps", type=int, default=None)
     p.add_argument("--discount", type=float, default=0.97)
     p.add_argument("--total_steps", type=int, default=24000)
     p.add_argument("--eval_period", type=int, default=4000)
@@ -98,6 +99,7 @@ def main():
         demo_fraction=0.5,
         intervention_prob=args.intervention_prob,
         intervention_mode=args.intervention_mode,
+        intervention_decay_steps=args.intervention_decay_steps,
     )
     rb = ReplayBuffer(
         {
