@@ -42,11 +42,16 @@ def main():
     p.add_argument("--training_starts", type=int, default=1000)
     p.add_argument("--random_steps", type=int, default=1000)
     p.add_argument("--num_demos", type=int, default=20)
-    p.add_argument("--intervention_prob", type=float, default=0.1)
+    # proven recipe (results/peg_insert_rlpd_v5e.log): heavy expert
+    # interventions early, annealed to zero — the reference's human-operator
+    # shape — with discount 0.97
+    p.add_argument("--intervention_prob", type=float, default=0.5)
     p.add_argument("--intervention_mode", default="episode",
                    choices=["step", "episode"])
-    p.add_argument("--total_steps", type=int, default=100_000)
-    p.add_argument("--eval_period", type=int, default=8000)
+    p.add_argument("--intervention_decay_steps", type=int, default=100_000)
+    p.add_argument("--discount", type=float, default=0.97)
+    p.add_argument("--total_steps", type=int, default=200_000)
+    p.add_argument("--eval_period", type=int, default=4000)
     p.add_argument("--log", type=str, default=None)
     args = p.parse_args()
 
@@ -101,6 +106,7 @@ def main():
         demo_fraction=0.5 if demo_state is not None else 0.0,
         intervention_prob=args.intervention_prob,
         intervention_mode=args.intervention_mode,
+        intervention_decay_steps=args.intervention_decay_steps,
     )
     rb = ReplayBuffer(
         {
@@ -113,7 +119,8 @@ def main():
         },
         capacity=config.buffer_capacity,
     )
-    agent = make_sac_agent(args.seed, obs_dim=OBS_DIM, action_dim=ACT_DIM)
+    agent = make_sac_agent(args.seed, obs_dim=OBS_DIM, action_dim=ACT_DIM,
+                           discount=args.discount)
     init_fn, run_chunk = make_fused_loop(env, rb, config, expert_fn=expert)
     carry = init_fn(agent, jax.random.PRNGKey(args.seed), demo_state=demo_state)
 

@@ -222,6 +222,104 @@ class ReplayBuffer:
             out[k] = frames.reshape((B, T) + frames.shape[1:])
         return out
 
+    # ---------------- stream-aligned (shard-local) sampling -------------- #
+
+    def _gather_aligned(self, tree: Data, s2: jax.Array) -> Data:
+        """Rows (s2[r,j], j) from (slots, streams, ...) arrays via
+        take_along_axis on the SLOTS axis only — with the streams axis
+        dp-sharded this compiles to a fully shard-local gather (each device
+        samples its own envs' rings; the whole-buffer all-gather the
+        global-index path provokes under GSPMD is the dominant cross-chip
+        cost of a sharded learner). Output is stream-major flat:
+        (streams * R, ...) with each stream's R rows contiguous, so the
+        batch axis sharding P("dp") lines up with the buffer's shards."""
+        R, streams = s2.shape
+
+        def g(buf):
+            idx = s2.reshape((R, streams) + (1,) * (buf.ndim - 2))
+            idx = jnp.broadcast_to(idx, (R, streams) + buf.shape[2:])
+            out = jnp.take_along_axis(buf, idx.astype(jnp.int32), axis=0)
+            out = jnp.moveaxis(out, 1, 0)  # (streams, R, ...)
+            return out.reshape((streams * R,) + buf.shape[2:])
+
+        return jax.tree.map(g, tree)
+
+    def _epid_aligned(self, state: ReplayBufferState, s2: jax.Array):
+        return jnp.take_along_axis(state.ep_id, s2, axis=0)  # (R, streams)
+
+    def _stack_obs_aligned(
+        self, state: ReplayBufferState, obs_tree: Data, s2: jax.Array
+    ) -> Data:
+        """Frame-stack reconstruction in (R, streams) index space (same
+        semantics as `_stack_obs`, shard-local)."""
+        if not self.image_keys:
+            return obs_tree
+        T = self.num_stack
+        slots = state.ep_id.shape[0]
+        R, streams = s2.shape
+        offs = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
+        raw = (s2[:, :, None] - offs[None, None, :]) % slots  # (R, streams, T)
+        anchor = self._epid_aligned(state, s2)  # (R, streams)
+        ep = jnp.stack(
+            [self._epid_aligned(state, raw[:, :, t]) for t in range(T)], axis=-1
+        )  # (R, streams, T)
+        valid = ep == anchor[:, :, None]
+        first_valid = jnp.argmax(valid.astype(jnp.int32), axis=-1)
+        safe = jnp.where(
+            valid, raw,
+            jnp.take_along_axis(raw, first_valid[:, :, None], axis=-1),
+        )  # (R, streams, T)
+
+        out = dict(obs_tree)
+        B = R * streams
+        for k in self.image_keys:
+            frames = [
+                self._gather_aligned(
+                    state.data["observations"][k], safe[:, :, t]
+                )
+                for t in range(T)
+            ]
+            out[k] = jnp.stack(frames, axis=1)  # (B, T, H, W, C)
+        return out
+
+    def _sample_aligned(
+        self, state: ReplayBufferState, rng: PRNGKey, batch_size: int
+    ) -> Batch:
+        slots, streams = state.ep_id.shape
+        R = batch_size // streams
+        if self.store_next_obs:
+            n_valid = jnp.maximum(state.size, 1)
+        else:
+            n_valid = jnp.maximum(state.size - 1, 1)
+        u = jax.random.randint(rng, (R, streams), 0, n_valid)
+        s2 = (state.insert_slot - state.size + u) % slots  # (R, streams)
+
+        batch = self._gather_aligned(state.data, s2)
+        obs = batch["observations"]
+        if isinstance(obs, dict):
+            obs = self._stack_obs_aligned(state, obs, s2)
+
+        if self.store_next_obs:
+            next_obs = batch["next_observations"]
+            if isinstance(next_obs, dict):
+                next_obs = self._stack_obs_aligned(state, next_obs, s2)
+        else:
+            nxt = (s2 + 1) % slots
+            same_ep = self._epid_aligned(state, nxt) == self._epid_aligned(
+                state, s2
+            )
+            safe_nxt = jnp.where(same_ep, nxt, s2)
+            next_obs = self._gather_aligned(
+                state.data["observations"], safe_nxt
+            )
+            if isinstance(next_obs, dict):
+                next_obs = self._stack_obs_aligned(state, next_obs, safe_nxt)
+
+        out = dict(batch)
+        out["observations"] = obs
+        out["next_observations"] = next_obs
+        return out
+
     def sample(
         self, state: ReplayBufferState, rng: PRNGKey, batch_size: int
     ) -> Batch:
@@ -231,8 +329,15 @@ class ReplayBuffer:
         sampling, and rows whose successor belongs to a different episode
         (exactly the terminal rows, where masks=0 kills the bootstrap term)
         fall back to next=s, matching the reference memory-efficient buffer's
-        boundary handling (memory_efficient_replay_buffer.py:126-146)."""
+        boundary handling (memory_efficient_replay_buffer.py:126-146).
+
+        When `batch_size` divides evenly over the streams, sampling is
+        STREAM-ALIGNED: exactly batch_size/streams uniform rows per stream,
+        gathered along the slots axis only — shard-local under the dp layout
+        (see `_gather_aligned`) and identically uniform over the buffer."""
         slots, streams = state.ep_id.shape
+        if batch_size % streams == 0:
+            return self._sample_aligned(state, rng, batch_size)
         ks, ke = jax.random.split(rng)
         if self.store_next_obs:
             n_valid = jnp.maximum(state.size, 1)

@@ -230,13 +230,58 @@ def _pad_contacts(state: PhysicsState, kin, pinch_v, pinch_w):
     return f_cube, tau_cube, f_arm, tau_arm, tau_theta
 
 
+def _obstacle_contact(state: PhysicsState, boxes: jnp.ndarray):
+    """Cube vs static axis-aligned boxes (bin walls etc.): corner penalty
+    contacts, same constants/caps as the floor model.
+
+    `boxes`: (M, 2, 3) world-frame (lo, hi) corners. For each cube corner
+    inside a box, the contact normal is the minimum-penetration face axis
+    and the corner is pushed out through that face (the standard AABB
+    shallow-penetration resolution). Returns (force, torque) on the cube.
+    """
+    Rc = quat_to_mat(state.cube_quat)
+    corners_w = state.cube_pos[None, :] + _CORNERS @ Rc.T  # (8,3)
+    r = corners_w - state.cube_pos[None, :]
+    v = state.cube_linvel[None, :] + jnp.cross(state.cube_angvel[None, :], r)
+
+    lo, hi = boxes[:, 0], boxes[:, 1]  # (M,3)
+    p = corners_w[:, None, :]  # (8,1,3)
+    d_lo = p - lo[None]  # (8,M,3) distance inside from each lo face
+    d_hi = hi[None] - p  # (8,M,3)
+    inside = jnp.all((d_lo > 0.0) & (d_hi > 0.0), axis=-1)  # (8,M)
+
+    depth_axis = jnp.minimum(d_lo, d_hi)  # (8,M,3)
+    # push toward the NEARER face: -e_ax if the lo face is closer, else +e_ax
+    sign = jnp.where(d_lo < d_hi, -1.0, 1.0)  # (8,M,3)
+    ax = jnp.argmin(depth_axis, axis=-1)  # (8,M)
+    depth = jnp.take_along_axis(depth_axis, ax[..., None], -1)[..., 0]
+    n_sign = jnp.take_along_axis(sign, ax[..., None], -1)[..., 0]
+    normal = jax.nn.one_hot(ax, 3) * n_sign[..., None]  # (8,M,3)
+    depth = jnp.where(inside, depth, 0.0)
+
+    vn = jnp.sum(v[:, None, :] * normal, axis=-1)  # (8,M)
+    fn_mag = jnp.maximum(KN_FLOOR * depth - KD_FLOOR * vn, 0.0) * inside
+    fn = fn_mag[..., None] * normal
+
+    vt = v[:, None, :] - vn[..., None] * normal
+    vt_norm = jnp.linalg.norm(vt, axis=-1, keepdims=True)
+    ft_mag = jnp.minimum(
+        MU_FLOOR * fn_mag[..., None] * jnp.tanh(vt_norm / V_EPS),
+        0.5 * CUBE_MASS * vt_norm / DT,
+    )
+    ft = -ft_mag * vt / jnp.maximum(vt_norm, 1e-9)
+    f = fn + ft  # (8,M,3)
+    torque = jnp.cross(r[:, None, :], f).sum((0, 1))
+    return f.sum((0, 1)), torque
+
+
 # ------------------------------------------------------------------ #
 # Stepping
 # ------------------------------------------------------------------ #
 
 
 @f32_precision
-def substep(state: PhysicsState) -> PhysicsState:
+def substep(state: PhysicsState, obstacles=None) -> PhysicsState:
     kin = fk(state.qpos)
     M = mass_matrix(kin)
     bias = bias_forces(kin, state.qvel)
@@ -247,6 +292,10 @@ def substep(state: PhysicsState) -> PhysicsState:
     f_cube_p, tau_cube_p, f_arm, tau_arm, tau_theta = _pad_contacts(
         state, kin, pinch_v, pinch_w
     )
+    if obstacles is not None:
+        f_obs, tau_obs = _obstacle_contact(state, jnp.asarray(obstacles))
+        f_floor = f_floor + f_obs
+        tau_floor = tau_floor + tau_obs
 
     # controller torque
     tau_ctrl = opspace_torques(
@@ -296,11 +345,14 @@ def substep(state: PhysicsState) -> PhysicsState:
     )
 
 
-def control_step(state: PhysicsState) -> PhysicsState:
-    """10 physics substeps = one 20 ms control period."""
+def control_step(state: PhysicsState, obstacles=None) -> PhysicsState:
+    """10 physics substeps = one 20 ms control period.
+
+    `obstacles`: optional (M, 2, 3) static AABBs (bin walls) the cube
+    collides with — see `_obstacle_contact`."""
 
     def body(_, s):
-        return substep(s)
+        return substep(s, obstacles)
 
     return jax.lax.fori_loop(0, N_SUBSTEPS, body, state)
 

