@@ -22,7 +22,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax
 import jax.numpy as jnp
 
+from serl_tpu.data import demos as demo_lib
 from serl_tpu.data.replay_buffer import ReplayBuffer
+from serl_tpu.envs.scripted_expert import relocation_expert_action
 from serl_tpu.envs.tasks import BinRelocationEnv
 from serl_tpu.training.fwbw import (
     FwBwConfig,
@@ -43,9 +45,13 @@ def main():
     p.add_argument("--utd_ratio", type=int, default=4)
     p.add_argument("--training_starts", type=int, default=2000)
     p.add_argument("--random_steps", type=int, default=2000)
-    p.add_argument("--intervention_prob", type=float, default=0.1)
+    # annealed-intervention recipe proven on peg insert (RESULTS.md)
+    p.add_argument("--intervention_prob", type=float, default=0.5)
     p.add_argument("--intervention_mode", default="episode",
                    choices=["step", "episode"])
+    p.add_argument("--intervention_decay_steps", type=int, default=100_000)
+    p.add_argument("--discount", type=float, default=0.97)
+    p.add_argument("--num_demos", type=int, default=20)
     p.add_argument("--total_steps", type=int, default=200_000)
     p.add_argument("--eval_period", type=int, default=8000)
     p.add_argument("--log", type=str, default=None)
@@ -61,8 +67,10 @@ def main():
         training_starts=args.training_starts,
         random_steps=args.random_steps,
         buffer_capacity=(200_000 // args.envs_per_task) * args.envs_per_task,
+        demo_fraction=0.5 if args.num_demos > 0 else 0.0,
         intervention_prob=args.intervention_prob,
         intervention_mode=args.intervention_mode,
+        intervention_decay_steps=args.intervention_decay_steps,
     )
     example = {
         "observations": jnp.zeros((OBS_DIM,)),
@@ -73,13 +81,53 @@ def main():
         "dones": jnp.zeros(()),
     }
     rb = ReplayBuffer(example, capacity=config.buffer_capacity)
-    fw_agent = make_sac_agent(args.seed, obs_dim=OBS_DIM, action_dim=ACT_DIM)
-    bw_agent = make_sac_agent(args.seed + 1, obs_dim=OBS_DIM, action_dim=ACT_DIM)
-
-    init_fn, run_chunk = make_fwbw_loop(fw_env, bw_env, rb, config)
-    carry = init_fn(fw_agent, bw_agent, jax.random.PRNGKey(args.seed))
+    fw_agent = make_sac_agent(args.seed, obs_dim=OBS_DIM, action_dim=ACT_DIM,
+                              discount=args.discount)
+    bw_agent = make_sac_agent(args.seed + 1, obs_dim=OBS_DIM,
+                              action_dim=ACT_DIM, discount=args.discount)
 
     out = open(args.log, "a") if args.log else sys.stdout
+
+    # per-task RLPD demos: auto-reset scripted relocation episodes (every
+    # row an approach/carry step — see the peg recipe, RESULTS.md)
+    fw_demo = bw_demo = None
+    if args.num_demos > 0:
+        demos = {}
+        for name, env in (("fw", fw_env), ("bw", bw_env)):
+            tgt = env.FW_BIN if env.task_id == 0 else env.BW_BIN
+            expert = lambda s, _tgt=tgt, _env=env: relocation_expert_action(
+                s, _tgt, jnp.asarray(_env.config.action_scale)
+            )
+            trans = demo_lib.collect_episodes(
+                env,
+                lambda states, rng, _e=expert: jax.vmap(_e)(states),
+                jax.random.PRNGKey(args.seed + 1000 + env.task_id),
+                num_episodes=args.num_demos,
+                episode_len=env.time_limit_steps,
+                auto_reset=True,
+            )
+            succ = float(jnp.mean(trans.pop("success")))
+            episodes = float(jnp.sum(trans["dones"]))
+            ex = {k: jax.tree.map(lambda x: x[0], v)
+                  for k, v in trans.items() if k != "ep_ids"}
+            demo_rb = ReplayBuffer(
+                ex, capacity=args.num_demos * env.time_limit_steps
+            )
+            demos[name] = demo_lib.demos_to_buffer(
+                demo_rb, trans, episode_len=env.time_limit_steps
+            )
+            print(
+                f"{name} demos: {args.num_demos * env.time_limit_steps} rows, "
+                f"{episodes:.0f} episodes, success-step frac {succ:.2f}",
+                file=out, flush=True,
+            )
+        fw_demo, bw_demo = demos["fw"], demos["bw"]
+
+    init_fn, run_chunk = make_fwbw_loop(fw_env, bw_env, rb, config)
+    carry = init_fn(
+        fw_agent, bw_agent, jax.random.PRNGKey(args.seed),
+        fw_demo=fw_demo, bw_demo=bw_demo,
+    )
     chunk = max(args.eval_period // (2 * config.envs_per_task), 1)
     t0 = time.time()
     prev = {"fw": (0, 0.0, 0.0), "bw": (0, 0.0, 0.0)}

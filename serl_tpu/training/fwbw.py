@@ -44,6 +44,9 @@ class FwBwConfig(NamedTuple):
     # "step" = per-step Bernoulli; "episode" = the expert owns whole episodes
     # (the reference's human-takeover shape — see loop.py LoopConfig)
     intervention_mode: str = "step"
+    # linear anneal of intervention_prob to 0 over this many env steps
+    # (the recipe that made peg insert learn — loop.py)
+    intervention_decay_steps: Optional[int] = None
 
 
 class TaskCarry(NamedTuple):
@@ -83,6 +86,15 @@ def make_fwbw_loop(
             f"{config.intervention_mode!r}"
         )
     n = config.envs_per_task
+
+    def _int_prob(env_steps):
+        p = config.intervention_prob
+        if config.intervention_decay_steps:
+            frac = 1.0 - env_steps.astype(jnp.float32) / float(
+                config.intervention_decay_steps
+            )
+            p = p * jnp.clip(frac, 0.0, 1.0)
+        return p
 
     def _init_task(env, agent, rng, demo_state):
         rng, int_key = jax.random.split(rng)
@@ -141,7 +153,7 @@ def make_fwbw_loop(
                 intervene = tc.intervening
             else:
                 intervene = (
-                    jax.random.uniform(int_key, (n,)) < config.intervention_prob
+                    jax.random.uniform(int_key, (n,)) < _int_prob(env_steps)
                 )
             # store the EXPERT action when it drove the env
             # (reference async_drq_randomized.py:177-179)
@@ -172,7 +184,7 @@ def make_fwbw_loop(
         intervening = tc.intervening
         if config.intervention_prob > 0.0 and config.intervention_mode == "episode":
             fresh_draw = (
-                jax.random.uniform(int_reset_key, (n,)) < config.intervention_prob
+                jax.random.uniform(int_reset_key, (n,)) < _int_prob(env_steps)
             )
             intervening = jnp.where(done_mask, fresh_draw, intervening)
 
@@ -255,6 +267,11 @@ def make_fwbw_loop(
     return init_fn, run_chunk
 
 
+# jitted chained-eval rollouts, built once per (envs, shape) — rebuilding
+# per call recompiles every eval (same bug class as loop.evaluate)
+_CHAIN_EVAL_CACHE = {}
+
+
 def evaluate_chained(
     fw_env: BinRelocationEnv,
     bw_env: BinRelocationEnv,
@@ -269,6 +286,19 @@ def evaluate_chained(
     async_drq_randomized.py:265-272). Reports fw success, bw-given-fw
     success, and round-trip success."""
     keys = jax.random.split(rng, num_episodes)
+
+    cache_key = (id(fw_env), id(bw_env), num_episodes, max_steps)
+    cached = _CHAIN_EVAL_CACHE.get(cache_key)
+    if cached is not None:
+        fw_succ, bw_succ = cached(fw_agent, bw_agent, keys)
+        round_trip = fw_succ * bw_succ
+        return {
+            "eval/fw_success": float(fw_succ.mean()),
+            "eval/bw_success_given_fw": float(
+                (bw_succ * fw_succ).sum() / jnp.maximum(fw_succ.sum(), 1.0)
+            ),
+            "eval/round_trip_success": float(round_trip.mean()),
+        }
 
     @jax.jit
     def rollout(fw_agent, bw_agent, keys):
@@ -303,6 +333,7 @@ def evaluate_chained(
         )
         return fw_succ, bw_succ
 
+    _CHAIN_EVAL_CACHE[cache_key] = rollout
     fw_succ, bw_succ = rollout(fw_agent, bw_agent, keys)
     round_trip = fw_succ * bw_succ
     return {
