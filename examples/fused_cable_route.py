@@ -55,15 +55,30 @@ CLS_KEY = "front"
 
 
 def train_classifier(env, expert, args, out):
-    """Phase 1: classifier from expert-success vs random frames."""
-    pos_trs = demo_lib.collect_episodes(
+    """Phase 1: classifier from labeled frames.
+
+    Positives: expert frames AT the success pose — collected WITHOUT
+    auto-reset so the expert sits at the goal for most of each stream
+    (dense at-goal coverage, slight action noise for visual diversity).
+    Negatives: the same expert rollouts' pre-success APPROACH frames plus
+    random-policy frames. Without expert approach frames as negatives the
+    classifier learns "arm purposefully above the site" = success and fires
+    on the very first approach steps (observed: 13-step 'successful'
+    episodes with ground-truth pose success 0.00)."""
+    noisy_expert = lambda s, k: jnp.clip(
+        expert(s)
+        + 0.05 * jax.random.normal(k, (ACT_DIM,)), -1.0, 1.0
+    )
+    exp_trs = demo_lib.collect_episodes(
         env,
-        lambda states, rng: jax.vmap(expert)(states),
+        lambda states, rng: jax.vmap(noisy_expert)(
+            states, jax.random.split(rng, states.t.shape[0])
+        ),
         jax.random.PRNGKey(args.seed + 2000),
         num_episodes=8,
         episode_len=env.time_limit_steps,
         pixel_obs=True,
-        auto_reset=True,
+        auto_reset=False,  # sit at the goal after success: dense positives
     )
     rand_fn = lambda states, rng: jax.random.uniform(
         rng, (8, ACT_DIM), minval=-1, maxval=1
@@ -77,13 +92,16 @@ def train_classifier(env, expert, args, out):
         pixel_obs=True,
         auto_reset=True,
     )
-    keep = np.asarray(jax.device_get(pos_trs["success"])) > 0.5
-    pos_px = jnp.asarray(jax.device_get(pos_trs["observations"][CLS_KEY]))[keep][:, None]
-    # negatives: random-policy frames that are NOT at the target
-    neg_keep = np.asarray(jax.device_get(neg_trs["success"])) < 0.5
-    neg_px = jnp.asarray(
+    exp_succ = np.asarray(jax.device_get(exp_trs["success"])) > 0.5
+    exp_px = np.asarray(jax.device_get(exp_trs["observations"][CLS_KEY]))
+    pos_px = jnp.asarray(exp_px[exp_succ])[:, None]
+    rand_keep = np.asarray(jax.device_get(neg_trs["success"])) < 0.5
+    rand_px = np.asarray(
         jax.device_get(neg_trs["observations"][CLS_KEY])
-    )[neg_keep][:, None]
+    )[rand_keep]
+    neg_px = jnp.asarray(
+        np.concatenate([exp_px[~exp_succ], rand_px], axis=0)
+    )[:, None]
     print(
         f"classifier data: {pos_px.shape[0]} positives, {neg_px.shape[0]} negatives",
         file=out, flush=True,
@@ -125,7 +143,7 @@ def main():
     p.add_argument("--utd_ratio", type=int, default=4)
     p.add_argument("--image_size", type=int, default=64)
     p.add_argument("--num_demos", type=int, default=20)
-    p.add_argument("--classifier_epochs", type=int, default=150)
+    p.add_argument("--classifier_epochs", type=int, default=300)
     p.add_argument("--intervention_prob", type=float, default=0.3)
     p.add_argument("--total_steps", type=int, default=60_000)
     p.add_argument("--eval_period", type=int, default=4000)

@@ -24,16 +24,22 @@ from serl_tpu.vision.encoding import ObsEncoder
 
 
 def make_image_encoders(
-    encoder_type: str, image_keys: Iterable[str]
+    encoder_type: str, image_keys: Iterable[str], shared: bool = False
 ) -> dict:
-    """Encoder registry (reference drq.py:137-186)."""
+    """Encoder registry (reference drq.py:137-186).
+
+    `shared=True` maps ONE encoder module (one parameter set) to every
+    camera; `ObsEncoder` then batches all cameras through a single conv
+    pipeline (2x batch per matmul on the MXU instead of two sequential
+    applies). The reference trains separate per-camera encoders — keep the
+    default for parity, opt in for throughput."""
     if encoder_type == "small":
         import jax.numpy as jnp
 
         from serl_tpu.vision.encoders import SmallEncoder
 
-        return {
-            key: SmallEncoder(
+        def small(name):
+            return SmallEncoder(
                 features=(32, 64, 128, 256),
                 kernel_sizes=(3, 3, 3, 3),
                 strides=(2, 2, 2, 2),
@@ -42,25 +48,31 @@ def make_image_encoders(
                 bottleneck_dim=256,
                 spatial_block_size=8,
                 compute_dtype=jnp.bfloat16,
-                name=f"encoder_{key}",
+                name=name,
             )
-            for key in image_keys
-        }
+
+        if shared:
+            enc = small("encoder_shared")
+            return {key: enc for key in image_keys}
+        return {key: small(f"encoder_{key}") for key in image_keys}
     if encoder_type == "resnet":
         import jax.numpy as jnp
 
         from serl_tpu.vision.encoders import resnetv1_configs
 
-        return {
-            key: resnetv1_configs["resnetv1-10"](
+        def resnet(name):
+            return resnetv1_configs["resnetv1-10"](
                 pooling_method="spatial_learned_embeddings",
                 num_spatial_blocks=8,
                 bottleneck_dim=256,
                 compute_dtype=jnp.bfloat16,
-                name=f"encoder_{key}",
+                name=name,
             )
-            for key in image_keys
-        }
+
+        if shared:
+            enc = resnet("encoder_shared")
+            return {key: enc for key in image_keys}
+        return {key: resnet(f"encoder_{key}") for key in image_keys}
     if encoder_type == "resnet-pretrained":
         from serl_tpu.vision.encoders import (
             PreTrainedResNetEncoder,
@@ -157,6 +169,7 @@ class DrQAgent(SACAgent):
         actions: jax.Array,
         *,
         encoder_type: str = "small",
+        shared_encoder: bool = False,
         use_proprio: bool = True,
         image_keys: Iterable[str] = ("image",),
         critic_network_kwargs: dict = {"hidden_dims": (256, 256)},
@@ -170,7 +183,9 @@ class DrQAgent(SACAgent):
         temperature_init: float = 1.0,
         **kwargs,
     ) -> "DrQAgent":
-        encoders = make_image_encoders(encoder_type, image_keys)
+        encoders = make_image_encoders(
+            encoder_type, image_keys, shared=shared_encoder
+        )
         encoder_def = ObsEncoder(
             encoders=encoders,
             use_proprio=use_proprio,

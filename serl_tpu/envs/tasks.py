@@ -129,7 +129,7 @@ class PandaPoseTaskEnv:
 
     # ------------------------------------------------------------------ #
 
-    def reset(self, rng: jnp.ndarray):
+    def _reset_state(self, rng: jnp.ndarray) -> EnvState:
         cfg = self.config
         rng, k_xy, k_rz, k_next = jax.random.split(rng, 4)
         state, _ = self._base.reset(rng)
@@ -151,10 +151,16 @@ class PandaPoseTaskEnv:
             return engine.control_step(p, self.obstacles), None
 
         phys, _ = jax.lax.scan(settle, phys, None, length=5)
-        state = state._replace(physics=phys, rng=k_next)
+        return state._replace(physics=phys, rng=k_next)
+
+    def reset(self, rng: jnp.ndarray):
+        state = self._reset_state(rng)
         return state, self._obs(state)
 
-    def step(self, state: EnvState, action: jnp.ndarray):
+    def _step_state(self, state: EnvState, action: jnp.ndarray):
+        """Physics + reward only, NO observation: lets auto-reset render
+        exactly once per step (the render is the pixel path's hot op — the
+        same split the pick env uses, panda_pick.py:65-70)."""
         cfg = self.config
         action = jnp.clip(action, -1.0, 1.0)
         dpos = action[:3] * cfg.action_scale[0]
@@ -197,13 +203,16 @@ class PandaPoseTaskEnv:
         phys = engine.control_step(phys, self.obstacles)
         new_state = state._replace(physics=phys, t=state.t + 1)
 
-        obs = self._obs(new_state)
         success = self._success(new_state)
         reward = success - cfg.gripper_penalty * gripper_moved.astype(jnp.float32)
         done = (new_state.t >= cfg.time_limit_steps).astype(jnp.float32)
         # early terminate on success like BinaryRewardClassifierWrapper
         done = jnp.maximum(done, success)
-        return new_state, obs, reward, done, {"success": success}
+        return new_state, reward, done, {"success": success}
+
+    def step(self, state: EnvState, action: jnp.ndarray):
+        new_state, reward, done, info = self._step_state(state, action)
+        return new_state, self._obs(new_state), reward, done, info
 
     # ------------------------------------------------------------------ #
 
@@ -242,16 +251,19 @@ class PandaPoseTaskEnv:
         return jnp.all(err < thr).astype(jnp.float32)
 
     def step_auto_reset(self, state: EnvState, action: jnp.ndarray):
-        stepped, obs, reward, done, info = self.step(state, action)
-        rng = state.rng
-        fresh, _ = self.reset(jax.random.fold_in(rng, state.ep_id))
+        stepped, reward, done, info = self._step_state(state, action)
+        fresh = self._reset_state(jax.random.fold_in(state.rng, state.ep_id))
         fresh = fresh._replace(ep_id=state.ep_id + 1)
         is_done = done > 0.5
-        new_state = jax.tree.map(lambda a, b: jnp.where(is_done, b, a), stepped, fresh)
-        reset_obs = self._obs(new_state)
-        out_obs = jax.tree.map(lambda t, r: jnp.where(is_done, r, t), obs, reset_obs)
+        new_state = jax.tree.map(
+            lambda a, b: jnp.where(is_done, b, a), stepped, fresh
+        )
+        # ONE render, from the post-autoreset state (== stepped when alive);
+        # final_obs is a second render XLA dead-code-eliminates when unused
+        # (the memory-efficient pixel buffer never stores next_obs)
+        out_obs = self._obs(new_state)
         info = dict(info)
-        info["final_obs"] = obs
+        info["final_obs"] = self._obs(stepped)
         return new_state, out_obs, reward, done, info
 
 

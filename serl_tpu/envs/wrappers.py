@@ -225,8 +225,14 @@ class ClassifierRewardEnv:
         return new_state, obs, succ, done, info
 
     def step_auto_reset(self, state, action):
+        # the classifier must see the PRE-reset frame (it decides `done`),
+        # so this wrapper pays two renders per step: the stepped frame and
+        # the post-autoreset obs. The reset state itself is built without
+        # rendering (env._reset_state).
         stepped, obs, reward, done, info = self.step(state, action)
-        fresh, _ = self.reset(jax.random.fold_in(state.rng, state.ep_id))
+        fresh = self.env._reset_state(
+            jax.random.fold_in(state.rng, state.ep_id)
+        )
         fresh = fresh._replace(ep_id=state.ep_id + 1)
         is_done = done > 0.5
         new_state = jax.tree.map(

@@ -72,6 +72,7 @@ def make_drq_agent(
     sample_action,
     image_keys=("image",),
     encoder_type: str = "small",
+    shared_encoder: bool = False,
     discount: float = 0.96,
 ):
     """Pixel DrQ with reference defaults (launcher.py:79-116)."""
@@ -82,6 +83,7 @@ def make_drq_agent(
         sample_obs,
         sample_action,
         encoder_type=encoder_type,
+        shared_encoder=shared_encoder,
         use_proprio=True,
         image_keys=tuple(image_keys),
         policy_kwargs={
@@ -144,6 +146,7 @@ def make_drq_sim_experiment(
     seed: int = 0,
     encoder_type: str = "small",
     image_size: int = 128,
+    shared_encoder: bool = False,
     **loop_overrides,
 ):
     """The async_drq_sim-equivalent workload: pixel PandaPickCube + DrQ."""
@@ -175,7 +178,7 @@ def make_drq_sim_experiment(
     sample = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
     agent = make_drq_agent(
         seed, sample, jnp.zeros((1, ACTION_DIM)), image_keys=rb.image_keys,
-        encoder_type=encoder_type,
+        encoder_type=encoder_type, shared_encoder=shared_encoder,
     )
     init_fn, run_chunk = make_fused_loop(env, rb, config)
     return env, agent, rb, config, init_fn, run_chunk

@@ -41,18 +41,40 @@ class ObsEncoder(nn.Module):
     @nn.compact
     def __call__(self, observations, train: bool = False, is_encoded: bool = False):
         images = observations.get("images", observations)
-        encoded = []
-        for key in self.image_keys:
-            img = images[key]
-            if not is_encoded and self.enable_stacking:
-                img = _fold_stack(img)
-            if is_encoded:
-                # img is already a pre-pooling feature map; pooling head only
-                out = self.encoders[key](img, train=train, encode=False)
-            else:
-                out = self.encoders[key](img, train=train)
-            encoded.append(out)
-        encoded = jnp.concatenate(encoded, axis=-1)
+        shared = (
+            not is_encoded
+            and len(self.image_keys) > 1
+            and len({id(self.encoders[k]) for k in self.image_keys}) == 1
+        )
+        if shared:
+            imgs = [
+                _fold_stack(images[k]) if self.enable_stacking else images[k]
+                for k in self.image_keys
+            ]
+            shared = imgs[0].ndim == 4  # batched only (axis 0 = batch)
+        if shared:
+            # one encoder module shared by all cameras: stack the cameras
+            # along the batch axis and run ONE conv pipeline at C x batch —
+            # bigger matmuls on the MXU and a single pass of dispatch
+            # overhead instead of per-camera applies
+            stacked = jnp.concatenate(imgs, axis=0)
+            feats = self.encoders[self.image_keys[0]](stacked, train=train)
+            encoded = jnp.concatenate(
+                jnp.split(feats, len(self.image_keys), axis=0), axis=-1
+            )
+        else:
+            encoded = []
+            for key in self.image_keys:
+                img = images[key]
+                if not is_encoded and self.enable_stacking:
+                    img = _fold_stack(img)
+                if is_encoded:
+                    # img is already a pre-pooling feature map; head only
+                    out = self.encoders[key](img, train=train, encode=False)
+                else:
+                    out = self.encoders[key](img, train=train)
+                encoded.append(out)
+            encoded = jnp.concatenate(encoded, axis=-1)
 
         if self.use_proprio:
             state = observations["state"]
