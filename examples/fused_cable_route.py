@@ -209,7 +209,10 @@ def main():
         updates_per_iter=2,
         training_starts=1000,
         random_steps=1000,
-        buffer_capacity=(50_000 // args.num_envs) * args.num_envs,
+        # 20k rows (~0.5 GB at 64px x 2 cams): the 50k-row buffer tripped
+        # TPU-worker crashes through the tunnel in combination with the
+        # donated update workspace; cable route solves well within 20k
+        buffer_capacity=(20_000 // args.num_envs) * args.num_envs,
         demo_fraction=0.5 if demo_state is not None else 0.0,
         intervention_prob=args.intervention_prob,
         intervention_mode="episode",
@@ -261,11 +264,20 @@ def main():
         )
         return c_succ.mean(), p_succ.mean()
 
-    chunk = max(args.eval_period // config.num_envs, 1)
+    # short chunks: long (>~50-iter) scans of this particular program
+    # (pose env render + classifier fwd + DrQ update) fault the TPU worker
+    # through the tunnel; 10-iter chunks are stable and the per-chunk host
+    # sync is negligible at ~2k env-steps/s
+    chunk = 10
+    eval_every = max(args.eval_period // (config.num_envs * chunk), 1)
     t0 = time.time()
     prev_ep, prev_suc = 0, 0.0
+    n_chunks = 0
     while int(carry.env_steps) < args.total_steps:
         carry, m = run_chunk(carry, chunk)
+        n_chunks += 1
+        if n_chunks % eval_every:
+            continue
         steps = int(carry.env_steps)
         ep = int(m["ep_count"][-1])
         suc = float(m["succ_sum"][-1])
