@@ -80,6 +80,24 @@ def train_classifier(env, expert, args, out):
         pixel_obs=True,
         auto_reset=False,  # sit at the goal after success: dense positives
     )
+    # near-miss negatives: a sloppier expert hovers AROUND the site without
+    # entering the success region — exactly the boundary the policy will
+    # probe for false positives
+    miss_expert = lambda s, k: jnp.clip(
+        expert(s)
+        + 0.5 * jax.random.normal(k, (ACT_DIM,)), -1.0, 1.0
+    )
+    miss_trs = demo_lib.collect_episodes(
+        env,
+        lambda states, rng: jax.vmap(miss_expert)(
+            states, jax.random.split(rng, states.t.shape[0])
+        ),
+        jax.random.PRNGKey(args.seed + 4000),
+        num_episodes=8,
+        episode_len=env.time_limit_steps,
+        pixel_obs=True,
+        auto_reset=True,
+    )
     rand_fn = lambda states, rng: jax.random.uniform(
         rng, (8, ACT_DIM), minval=-1, maxval=1
     )
@@ -99,8 +117,12 @@ def train_classifier(env, expert, args, out):
     rand_px = np.asarray(
         jax.device_get(neg_trs["observations"][CLS_KEY])
     )[rand_keep]
+    miss_keep = np.asarray(jax.device_get(miss_trs["success"])) < 0.5
+    miss_px = np.asarray(
+        jax.device_get(miss_trs["observations"][CLS_KEY])
+    )[miss_keep]
     neg_px = jnp.asarray(
-        np.concatenate([exp_px[~exp_succ], rand_px], axis=0)
+        np.concatenate([exp_px[~exp_succ], miss_px, rand_px], axis=0)
     )[:, None]
     print(
         f"classifier data: {pos_px.shape[0]} positives, {neg_px.shape[0]} negatives",
@@ -141,7 +163,9 @@ def main():
     p.add_argument("--num_envs", type=int, default=16)
     p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--utd_ratio", type=int, default=4)
-    p.add_argument("--image_size", type=int, default=64)
+    # 128px (reference camera size): at 64px the cube is ~9 px and the
+    # classifier cannot resolve the 2 cm success threshold -> reward hacking
+    p.add_argument("--image_size", type=int, default=128)
     p.add_argument("--num_demos", type=int, default=20)
     p.add_argument("--classifier_epochs", type=int, default=300)
     p.add_argument("--intervention_prob", type=float, default=0.3)
@@ -163,8 +187,11 @@ def main():
     cls_state = train_classifier(env, expert, args, out)
 
     # ---- phase 2: RL with the classifier as the ONLY reward ----
+    # threshold 0.75: the wrapped reward only fires on confident positives
+    # (reference uses 0.5; the sim classifier is trained on narrower data)
     wrapped = ClassifierRewardEnv(
-        env, cls_state.apply_fn, cls_state.params, image_key=CLS_KEY
+        env, cls_state.apply_fn, cls_state.params, image_key=CLS_KEY,
+        threshold=0.75,
     )
 
     demo_state = None

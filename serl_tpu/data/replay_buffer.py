@@ -236,10 +236,17 @@ class ReplayBuffer:
         R, streams = s2.shape
 
         def g(buf):
-            idx = s2.reshape((R, streams) + (1,) * (buf.ndim - 2))
-            idx = jnp.broadcast_to(idx, (R, streams) + buf.shape[2:])
-            out = jnp.take_along_axis(buf, idx.astype(jnp.int32), axis=0)
-            out = jnp.moveaxis(out, 1, 0)  # (streams, R, ...)
+            # batched ROW gather: vmap a slots-axis take over the streams
+            # axis — compiles to one gather op with a batch dim (shard-local
+            # along streams). A take_along_axis formulation broadcasts the
+            # index tensor to the FULL data shape (4x the data in int32) and
+            # gathers per element — measured 200x slower on TPU for image
+            # buffers.
+            out = jax.vmap(
+                lambda col, idx: jnp.take(col, idx, axis=0),
+                in_axes=(1, 1),
+                out_axes=0,
+            )(buf, s2.astype(jnp.int32))  # (streams, R, ...)
             return out.reshape((streams * R,) + buf.shape[2:])
 
         return jax.tree.map(g, tree)
