@@ -48,7 +48,7 @@ def main():
     # annealed-intervention recipe proven on peg insert (RESULTS.md)
     p.add_argument("--intervention_prob", type=float, default=0.5)
     p.add_argument("--intervention_mode", default="episode",
-                   choices=["step", "episode"])
+                   choices=["step", "episode", "rescue"])
     p.add_argument("--intervention_decay_steps", type=int, default=100_000)
     p.add_argument("--discount", type=float, default=0.97)
     p.add_argument("--num_demos", type=int, default=20)

@@ -204,11 +204,18 @@ class PandaPoseTaskEnv:
         new_state = state._replace(physics=phys, t=state.t + 1)
 
         success = self._success(new_state)
-        reward = success - cfg.gripper_penalty * gripper_moved.astype(jnp.float32)
+        reward = self._reward(new_state, success, gripper_moved)
         done = (new_state.t >= cfg.time_limit_steps).astype(jnp.float32)
         # early terminate on success like BinaryRewardClassifierWrapper
         done = jnp.maximum(done, success)
         return new_state, reward, done, {"success": success}
+
+    def _reward(self, state: EnvState, success, gripper_moved):
+        """Sparse by default (reference compute_reward, franka_env.py:221-238);
+        task envs may override with shaping."""
+        return success - self.config.gripper_penalty * gripper_moved.astype(
+            jnp.float32
+        )
 
     def step(self, state: EnvState, action: jnp.ndarray):
         new_state, reward, done, info = self._step_state(state, action)
@@ -299,7 +306,7 @@ class BinRelocationEnv(PandaPoseTaskEnv):
     WALL_HEIGHT = 0.04
     WALL_THICKNESS = 0.008
 
-    def __init__(self, task_id: int = 0, **kwargs):
+    def __init__(self, task_id: int = 0, dense_shaping: bool = True, **kwargs):
         cfg = PoseTaskConfig(
             target_pose=(0.45, 0.15 if task_id == 0 else -0.15, 0.1, 3.14159, 0, 0),
             reset_pose=(0.45, -0.15 if task_id == 0 else 0.15, 0.2, 3.14159, 0, 0),
@@ -307,6 +314,7 @@ class BinRelocationEnv(PandaPoseTaskEnv):
         )
         super().__init__(config=cfg, **kwargs)
         self.task_id = task_id
+        self.dense_shaping = dense_shaping
         walls = []
         for c in (self.FW_BIN, self.BW_BIN):
             walls += _bin_walls(
@@ -332,3 +340,29 @@ class BinRelocationEnv(PandaPoseTaskEnv):
         cube = state.physics.cube_pos
         inside = jnp.all(jnp.abs(cube[:2] - tgt) < self.BIN_HALF) & (cube[2] < 0.05)
         return inside.astype(jnp.float32)
+
+    def _reward(self, state: EnvState, success, gripper_moved):
+        """Shaped relocation reward (the same reach/lift/transport shaping
+        family that makes PandaPickCube learnable, panda_pick.py _reward:
+        0.3 reach + 0.7 lift): reach the cube, lift it over the walls, carry
+        it toward the target bin; +1 on sparse success (which also
+        early-terminates). `dense_shaping=False` restores the sparse
+        reference semantics (classifier-style reward)."""
+        if not self.dense_shaping:
+            return super()._reward(state, success, gripper_moved)
+        from serl_tpu.envs.physics import engine as _engine
+
+        tcp, _, cube = _engine.observe(state.physics)
+        tgt = self.FW_BIN if self.task_id == 0 else self.BW_BIN
+        r_reach = 0.15 * jnp.exp(-20.0 * jnp.linalg.norm(tcp - cube))
+        r_lift = 0.25 * jnp.clip(
+            (cube[2] - 0.02) / (self.WALL_HEIGHT + 0.04), 0.0, 1.0
+        )
+        d0 = jnp.linalg.norm(self.FW_BIN - self.BW_BIN)
+        r_carry = 0.6 * jnp.clip(
+            1.0 - jnp.linalg.norm(cube[:2] - tgt) / d0, 0.0, 1.0
+        )
+        penalty = self.config.gripper_penalty * gripper_moved.astype(
+            jnp.float32
+        )
+        return r_reach + r_lift + r_carry + success - penalty

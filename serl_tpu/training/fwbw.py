@@ -80,9 +80,9 @@ def make_fwbw_loop(
     init_fn(fw_agent, bw_agent, rng, fw_demo=None, bw_demo=None) -> FwBwCarry
     run_chunk(carry, num_iters) -> (carry, metrics)
     """
-    if config.intervention_mode not in ("step", "episode"):
+    if config.intervention_mode not in ("step", "episode", "rescue"):
         raise ValueError(
-            f"intervention_mode must be 'step' or 'episode', got "
+            f"intervention_mode must be 'step', 'episode' or 'rescue', got "
             f"{config.intervention_mode!r}"
         )
     n = config.envs_per_task
@@ -151,6 +151,11 @@ def make_fwbw_loop(
             )(tc.env_states)
             if config.intervention_mode == "episode":
                 intervene = tc.intervening
+            elif config.intervention_mode == "rescue":
+                # sticky mid-episode takeover (see loop.py LoopConfig)
+                intervene = tc.intervening | (
+                    jax.random.uniform(int_key, (n,)) < _int_prob(env_steps)
+                )
             else:
                 intervene = (
                     jax.random.uniform(int_key, (n,)) < _int_prob(env_steps)
@@ -187,6 +192,12 @@ def make_fwbw_loop(
                 jax.random.uniform(int_reset_key, (n,)) < _int_prob(env_steps)
             )
             intervening = jnp.where(done_mask, fresh_draw, intervening)
+        elif config.intervention_mode == "rescue":
+            if config.intervention_prob > 0.0:
+                intervening = intervening | (
+                    jax.random.uniform(int_key, (n,)) < _int_prob(env_steps)
+                )
+            intervening = jnp.where(done_mask, False, intervening)
 
         # learner
         def do_updates(operand):

@@ -51,7 +51,12 @@ class LoopConfig(NamedTuple):
     # takeover lasts a full maneuver, wrappers.py:171-221 keeps overriding
     # while the device is moving), and the thing that makes sparse-reward
     # recipes (peg/PCB) learn: it puts successful on-policy episodes in the
-    # online buffer.
+    # online buffer. "rescue": sticky MID-episode takeover — with prob per
+    # step the expert takes over and keeps control until the episode ends.
+    # This is the human rescue shape for long-horizon tasks: the policy owns
+    # the prefix (its own state distribution), the expert finishes from
+    # wherever the policy got stuck, so the buffer contains successful
+    # continuations from policy-visited states.
     intervention_prob: float = 0.0
     intervention_mode: str = "step"
     # anneal the intervention probability linearly to 0 over this many env
@@ -96,9 +101,9 @@ def make_fused_loop(
     `expert_fn(env_state) -> action` overrides the default scripted pick
     expert for intervention-style training (config.intervention_prob).
     """
-    if config.intervention_mode not in ("step", "episode"):
+    if config.intervention_mode not in ("step", "episode", "rescue"):
         raise ValueError(
-            f"intervention_mode must be 'step' or 'episode', got "
+            f"intervention_mode must be 'step', 'episode' or 'rescue', got "
             f"{config.intervention_mode!r}"
         )
     pixel_keys = rb.image_keys
@@ -180,6 +185,13 @@ def make_fused_loop(
             expert_actions = jax.vmap(_expert)(carry.env_states)
             if config.intervention_mode == "episode":
                 intervene = carry.intervening
+            elif config.intervention_mode == "rescue":
+                fresh_take = (
+                    jax.random.uniform(int_key, (config.num_envs,))
+                    < _int_prob(carry.env_steps)
+                )
+                intervene = carry.intervening | fresh_take
+                intervening = intervene
             else:
                 intervene = (
                     jax.random.uniform(int_key, (config.num_envs,))
@@ -224,6 +236,9 @@ def make_fused_loop(
                 < _int_prob(carry.env_steps)
             )
             intervening = jnp.where(done_mask, fresh_draw, intervening)
+        elif config.intervention_mode == "rescue":
+            # rescue control never carries across an episode boundary
+            intervening = jnp.where(done_mask, False, intervening)
 
         env_steps = carry.env_steps + config.num_envs
 
