@@ -120,6 +120,10 @@ class PandaPoseTaskEnv:
         # optional (M, 2, 3) static AABB obstacles the cube collides with
         # (BinRelocationEnv sets bin walls); None = free tabletop
         self.obstacles = None
+        # subclasses with dense shaping set True: success then accrues per
+        # step INSTEAD of early-terminating (early termination + dense
+        # shaping makes finishing strictly worse than farming the shaping)
+        self.dense_shaping = False
 
     @property
     def time_limit_steps(self) -> int:
@@ -206,8 +210,12 @@ class PandaPoseTaskEnv:
         success = self._success(new_state)
         reward = self._reward(new_state, success, gripper_moved)
         done = (new_state.t >= cfg.time_limit_steps).astype(jnp.float32)
-        # early terminate on success like BinaryRewardClassifierWrapper
-        done = jnp.maximum(done, success)
+        if not self.dense_shaping:
+            # early terminate on success like BinaryRewardClassifierWrapper;
+            # with dense shaping success instead pays out every remaining
+            # step (terminating would make completion strictly worse than
+            # farming the shaping terms)
+            done = jnp.maximum(done, success)
         return new_state, reward, done, {"success": success}
 
     def _reward(self, state: EnvState, success, gripper_moved):
