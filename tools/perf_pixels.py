@@ -29,7 +29,7 @@ import numpy as np
 
 
 def bench_loop(iters=25, updates=True, shared_encoder=False, image_size=128,
-               num_envs=16):
+               num_envs=16, updates_per_iter=2):
     from serl_tpu.training.launcher import make_drq_sim_experiment
 
     env, agent, rb, config, init_fn, run_chunk = make_drq_sim_experiment(
@@ -40,7 +40,7 @@ def bench_loop(iters=25, updates=True, shared_encoder=False, image_size=128,
         num_envs=num_envs,
         batch_size=256,
         utd_ratio=4,
-        updates_per_iter=2,
+        updates_per_iter=updates_per_iter,
         training_starts=0 if updates else 10**9,
         random_steps=0,
         buffer_capacity=num_envs * 640,
@@ -73,16 +73,19 @@ def main():
 
     rows = []
     for label, kw in (
-        ("full loop (2 updates/iter, per-camera encoders)",
+        ("full loop, reference ratio (UTD4 x2 upd/iter)",
          dict(updates=True, shared_encoder=False)),
-        ("full loop, SHARED camera encoder",
+        ("full loop, UTD4 x1 upd/iter (the shape r2's doc measured)",
+         dict(updates=True, shared_encoder=False, updates_per_iter=1)),
+        ("full loop, SHARED camera encoder (UTD4 x2)",
          dict(updates=True, shared_encoder=True)),
         ("actor-only (act + render + insert)",
          dict(updates=False, shared_encoder=False)),
+        ("full loop @64px, reference ratio",
+         dict(updates=True, shared_encoder=False, image_size=64)),
     ):
-        s, g, ms = bench_loop(
-            image_size=args.image_size, num_envs=args.num_envs, **kw
-        )
+        kw.setdefault("image_size", args.image_size)
+        s, g, ms = bench_loop(num_envs=args.num_envs, **kw)
         rows.append((label, s, g, ms))
         print(f"| {label} | {s:,.0f} | {g:,.0f} | {ms:.1f} |", flush=True)
     return rows
