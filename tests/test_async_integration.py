@@ -10,24 +10,13 @@ processes exit cleanly.
 """
 
 import os
-import socket
 import subprocess
 import sys
 from pathlib import Path
 
+from tests._ports import next_port_pair as _free_port
+
 REPO = Path(__file__).resolve().parent.parent
-
-
-def _free_port():
-    # even port so broadcast_port=port+1 is also likely free
-    for _ in range(32):
-        s = socket.socket()
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-        s.close()
-        if port % 2 == 0:
-            return port
-    return port
 
 
 def test_async_actor_learner_end_to_end(tmp_path):

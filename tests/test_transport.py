@@ -18,7 +18,7 @@ from serl_tpu.distributed.transport import (
     TrainerServer,
 )
 
-BASE_PORT = 45610  # unlikely-collision test range
+from tests._ports import next_port_pair, retry_bind
 
 
 class ListStore:
@@ -35,10 +35,17 @@ class ListStore:
             return len(self.items)
 
 
+def _make_server(cb):
+    def factory(port):
+        cfg = TrainerConfig(port_number=port, broadcast_port=port + 1)
+        return TrainerServer(cfg, request_callback=cb), cfg
+    (pair, cfg), _ = retry_bind(factory)
+    return pair, cfg
+
+
 @pytest.fixture()
 def pair():
-    cfg = TrainerConfig(port_number=BASE_PORT, broadcast_port=BASE_PORT + 1)
-    server = TrainerServer(cfg, request_callback=lambda t, p: {"echo": t, "got": p})
+    server, cfg = _make_server(lambda t, p: {"echo": t, "got": p})
     store = ListStore()
     server.register_data_store("actor_env", store)
     server.start(threaded=True)
@@ -122,7 +129,8 @@ def test_queued_data_store_capacity():
 
 
 def test_client_connect_timeout():
-    cfg = TrainerConfig(port_number=BASE_PORT + 7, broadcast_port=BASE_PORT + 8)
+    port = next_port_pair()
+    cfg = TrainerConfig(port_number=port, broadcast_port=port + 1)
     with pytest.raises(ConnectionError):
         TrainerClient(
             "x", "127.0.0.1", cfg, wait_for_server=False, timeout_s=0.3
@@ -130,8 +138,7 @@ def test_client_connect_timeout():
 
 
 def test_server_survives_client_disconnect():
-    cfg = TrainerConfig(port_number=BASE_PORT + 3, broadcast_port=BASE_PORT + 4)
-    server = TrainerServer(cfg, request_callback=lambda t, p: {"ok": 1})
+    server, cfg = _make_server(lambda t, p: {"ok": 1})
     store = ListStore()
     server.register_data_store("a", store)
     server.start(threaded=True)
@@ -155,8 +162,7 @@ def test_actor_survives_learner_restart():
     """VERDICT r2 #9: kill the server mid-stream; the actor's pushes are
     re-queued (no data loss), and once a NEW server binds the same ports the
     client re-dials and delivers everything, including param broadcast."""
-    cfg = TrainerConfig(port_number=BASE_PORT + 11, broadcast_port=BASE_PORT + 12)
-    server = TrainerServer(cfg, request_callback=lambda t, p: {"gen": 1})
+    server, cfg = _make_server(lambda t, p: {"gen": 1})
     store1 = ListStore()
     server.register_data_store("a", store1)
     server.start(threaded=True)
@@ -210,8 +216,7 @@ def test_actor_survives_learner_restart():
 def test_server_handles_midstream_client_death():
     """A client killed mid-push-stream must not wedge the server: other
     clients keep working and the dead connection is reaped."""
-    cfg = TrainerConfig(port_number=BASE_PORT + 15, broadcast_port=BASE_PORT + 16)
-    server = TrainerServer(cfg, request_callback=lambda t, p: {"ok": 1})
+    server, cfg = _make_server(lambda t, p: {"ok": 1})
     store = ListStore()
     server.register_data_store("a", store)
     server.start(threaded=True)
