@@ -129,6 +129,12 @@ def main():
     state_steps, state_updates = bench_state()
     pixel_steps, pixel_updates = bench_pixels()
     ref = bench_reference_proxy()
+    # Reference PIXEL actor proxy: mj_step x10 + TWO 128px offscreen renders
+    # per control step (panda_pick_gym_env.py:205-231). No GL backend exists
+    # in this image (glfw/egl/osmesa all fail headless), so the physics-only
+    # rate stands in as an UPPER bound on the reference's pixel rate — the
+    # renders only slow it down — making drq_vs_baseline a LOWER bound on
+    # our advantage.
     print(
         json.dumps(
             {
@@ -139,6 +145,8 @@ def main():
                 "state_updates_per_s": round(state_updates, 1),
                 "drq_env_steps_per_s": round(pixel_steps, 1),
                 "drq_updates_per_s": round(pixel_updates, 1),
+                # vs the render-free reference proxy: conservative lower bound
+                "drq_vs_baseline": round(pixel_steps / ref, 3),
             }
         )
     )

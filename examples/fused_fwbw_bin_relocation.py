@@ -52,13 +52,21 @@ def main():
     p.add_argument("--intervention_decay_steps", type=int, default=100_000)
     p.add_argument("--discount", type=float, default=0.97)
     p.add_argument("--num_demos", type=int, default=20)
+    p.add_argument("--sparse", action="store_true",
+                   help="sparse success reward + early termination "
+                        "(reference classifier-reward semantics) instead of "
+                        "reach/lift/carry shaping")
+    # reverse curriculum: fraction of episodes that start from a random
+    # expert-visited state (mid-grasp / mid-carry / over-bin), making sparse
+    # reward reachable from late-phase states first
+    p.add_argument("--demo_reset_prob", type=float, default=0.0)
     p.add_argument("--total_steps", type=int, default=200_000)
     p.add_argument("--eval_period", type=int, default=8000)
     p.add_argument("--log", type=str, default=None)
     args = p.parse_args()
 
-    fw_env = BinRelocationEnv(task_id=0)
-    bw_env = BinRelocationEnv(task_id=1)
+    fw_env = BinRelocationEnv(task_id=0, dense_shaping=not args.sparse)
+    bw_env = BinRelocationEnv(task_id=1, dense_shaping=not args.sparse)
 
     config = FwBwConfig(
         envs_per_task=args.envs_per_task,
@@ -123,6 +131,32 @@ def main():
             )
         fw_demo, bw_demo = demos["fw"], demos["bw"]
 
+    # reverse-curriculum reset banks from expert-visited states
+    if args.demo_reset_prob > 0.0:
+        for env in (fw_env, bw_env):
+            tgt = env.FW_BIN if env.task_id == 0 else env.BW_BIN
+            expert = lambda s, _tgt=tgt, _env=env: relocation_expert_action(
+                s, _tgt, jnp.asarray(_env.config.action_scale)
+            )
+            bank = demo_lib.collect_state_bank(
+                env,
+                lambda states, rng, _e=expert: jax.vmap(_e)(states),
+                jax.random.PRNGKey(args.seed + 5000 + env.task_id),
+                num_streams=8,
+                steps=env.time_limit_steps,
+            )
+            env.set_demo_reset_bank(bank, args.demo_reset_prob)
+            print(
+                f"task {env.task_id}: demo-reset bank of "
+                f"{jax.tree.leaves(bank)[0].shape[0]} states "
+                f"(p={args.demo_reset_prob})",
+                file=out, flush=True,
+            )
+
+    # eval must see the true task distribution: clean envs, no reset bank
+    eval_fw_env = BinRelocationEnv(task_id=0, dense_shaping=not args.sparse)
+    eval_bw_env = BinRelocationEnv(task_id=1, dense_shaping=not args.sparse)
+
     init_fn, run_chunk = make_fwbw_loop(fw_env, bw_env, rb, config)
     carry = init_fn(
         fw_agent, bw_agent, jax.random.PRNGKey(args.seed),
@@ -146,7 +180,7 @@ def main():
             )
             prev[task] = (ep, ret, suc)
         ev = evaluate_chained(
-            fw_env, bw_env, carry.fw.agent, carry.bw.agent,
+            eval_fw_env, eval_bw_env, carry.fw.agent, carry.bw.agent,
             jax.random.PRNGKey(steps),
         )
         line += (

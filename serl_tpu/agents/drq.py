@@ -79,15 +79,20 @@ def make_image_encoders(
             resnetv1_configs,
         )
 
-        pretrained = resnetv1_configs["resnetv1-10-frozen"](
-            pre_pooling=True, name="pretrained_encoder"
-        )
+        # one backbone INSTANCE per key: flax binds a shared instance's
+        # params under the first owner only (encoders_<first>), which left
+        # the other keys' `pretrained_encoder` subtree missing at graft time.
+        # Per-key instances match the reference layout (every encoder_{k}
+        # carries its own pretrained_encoder subtree grafted from the same
+        # pkl, train_utils.py:69-130).
         return {
             key: PreTrainedResNetEncoder(
                 pooling_method="spatial_learned_embeddings",
                 num_spatial_blocks=8,
                 bottleneck_dim=256,
-                pretrained_encoder=pretrained,
+                pretrained_encoder=resnetv1_configs["resnetv1-10-frozen"](
+                    pre_pooling=True, name=f"pretrained_encoder_{key}"
+                ),
                 name=f"encoder_{key}",
             )
             for key in image_keys

@@ -96,6 +96,41 @@ def collect_episodes(
     return out
 
 
+def collect_state_bank(
+    env,
+    policy_fn: Callable,  # (EnvState batch, rng) -> (N, act_dim) actions
+    rng: jnp.ndarray,
+    num_streams: int = 8,
+    steps: int = 100,
+):
+    """Roll the policy out and return every visited EnvState stacked along a
+    leading bank axis (num_streams * steps, ...) — the input to
+    `PandaPoseTaskEnv.set_demo_reset_bank` (reverse-curriculum resets: start
+    episodes from expert-visited states so sparse reward is reachable from
+    late-phase states first). Auto-resets inside, so the bank covers all
+    phases of repeated episodes."""
+    keys = jax.random.split(rng, num_streams)
+
+    @jax.jit
+    def rollout(keys):
+        states, _ = jax.vmap(env.reset)(keys)
+
+        def body(carry, t):
+            states = carry
+            actions = policy_fn(states, jax.random.fold_in(keys[0], t))
+            new_states, _, _, _, _ = jax.vmap(env.step_auto_reset)(
+                states, actions
+            )
+            return new_states, states  # record PRE-step states
+
+        _, bank = jax.lax.scan(body, states, jnp.arange(steps))
+        return jax.tree.map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), bank
+        )
+
+    return rollout(keys)
+
+
 def filter_successful(transitions: Dict, episode_len: int = 100) -> Dict:
     """Keep only episodes whose max success flag is 1 (host-side)."""
     t = jax.device_get(transitions)

@@ -75,6 +75,7 @@ LOOP_CARRY_SPEC = {
     "ret_sum": "rep",
     "succ_sum": "rep",
     "intervening": "env",  # per-env expert-takeover flag
+    "chunk": "env",  # per-env rolling obs history (num_stack>1), env-sharded
 }
 
 # ReplayBufferState fields (serl_tpu/data/replay_buffer.py): data rides the

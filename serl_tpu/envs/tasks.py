@@ -124,6 +124,20 @@ class PandaPoseTaskEnv:
         # step INSTEAD of early-terminating (early termination + dense
         # shaping makes finishing strictly worse than farming the shaping)
         self.dense_shaping = False
+        # optional demo-state reset bank (reverse curriculum): with prob
+        # `demo_reset_prob` an episode starts from a random state visited by
+        # the scripted expert (mid-grasp, mid-carry, over-bin ...) instead of
+        # the task's home pose. Sparse reward becomes reachable from late
+        # states first and values back up along the expert's state
+        # distribution. Set via `set_demo_reset_bank`.
+        self._demo_bank = None
+        self._demo_reset_prob = 0.0
+
+    def set_demo_reset_bank(self, bank, prob: float):
+        """`bank`: EnvState pytree with a leading bank axis (M, ...); `prob`:
+        per-episode probability of resetting into a random bank state."""
+        self._demo_bank = bank
+        self._demo_reset_prob = float(prob)
 
     @property
     def time_limit_steps(self) -> int:
@@ -155,7 +169,25 @@ class PandaPoseTaskEnv:
             return engine.control_step(p, self.obstacles), None
 
         phys, _ = jax.lax.scan(settle, phys, None, length=5)
-        return state._replace(physics=phys, rng=k_next)
+        state = state._replace(physics=phys, rng=k_next)
+        return self._maybe_demo_reset(state, rng)
+
+    def _maybe_demo_reset(self, state: EnvState, rng: jnp.ndarray) -> EnvState:
+        """With prob `_demo_reset_prob`, swap in a random demo-bank state
+        (physics only — episode clock/rng/ep_id stay fresh)."""
+        if self._demo_bank is None or self._demo_reset_prob <= 0.0:
+            return state
+        k_sel, k_idx = jax.random.split(jax.random.fold_in(rng, 7))
+        m = jax.tree.leaves(self._demo_bank)[0].shape[0]
+        idx = jax.random.randint(k_idx, (), 0, m)
+        demo = jax.tree.map(lambda x: x[idx], self._demo_bank)
+        demo = demo._replace(
+            t=state.t, rng=state.rng, ep_id=state.ep_id
+        )
+        use = jax.random.uniform(k_sel) < self._demo_reset_prob
+        return jax.tree.map(
+            lambda a, b: jnp.where(use, b, a), state, demo
+        )
 
     def reset(self, rng: jnp.ndarray):
         state = self._reset_state(rng)
@@ -331,17 +363,28 @@ class BinRelocationEnv(PandaPoseTaskEnv):
             )
         self.obstacles = jnp.asarray(walls)  # (8, 2, 3)
 
-    def reset(self, rng: jnp.ndarray):
-        state, obs = super().reset(rng)
-        # place the cube in the source bin
+    def _reset_state(self, rng: jnp.ndarray) -> EnvState:
+        """Place the cube in the SOURCE bin on every reset — including the
+        in-graph auto-reset (`step_auto_reset` calls `_reset_state`, not
+        `reset`). Round-3 bug: cube placement lived only in `reset()`, so
+        auto-reset episodes inherited the cube wherever the previous episode
+        left it — cubes drifted out of the bins over training, and any
+        episode ending with the cube in the TARGET bin made the next episode
+        farm success reward with the task pre-solved (visible as train
+        success >> eval success in results/fwbw_bin_relocation_v5e*.log)."""
+        state = super()._reset_state(rng)
         src = self.BW_BIN if self.task_id == 0 else self.FW_BIN
         rng2 = jax.random.fold_in(rng, 99)
         jitter = jax.random.uniform(rng2, (2,), minval=-0.03, maxval=0.03)
         phys = state.physics._replace(
-            cube_pos=jnp.concatenate([src + jitter, jnp.asarray([0.02])])
+            cube_pos=jnp.concatenate([src + jitter, jnp.asarray([0.02])]),
+            cube_linvel=jnp.zeros(3),
+            cube_angvel=jnp.zeros(3),
         )
         state = state._replace(physics=phys, z_init=jnp.asarray(0.02))
-        return state, self._obs(state)
+        # demo-bank states (applied by super() before the cube placement
+        # above would clobber them) take precedence: re-apply
+        return self._maybe_demo_reset(state, rng)
 
     def _success(self, state: EnvState) -> jnp.ndarray:
         tgt = self.FW_BIN if self.task_id == 0 else self.BW_BIN

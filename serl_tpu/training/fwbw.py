@@ -279,7 +279,9 @@ def make_fwbw_loop(
 
 
 # jitted chained-eval rollouts, built once per (envs, shape) — rebuilding
-# per call recompiles every eval (same bug class as loop.evaluate)
+# per call recompiles every eval (same bug class as loop.evaluate). Entries
+# hold strong refs to both envs so the id()-based key can't be reused by a
+# different env (VERDICT r3 weak #6).
 _CHAIN_EVAL_CACHE = {}
 
 
@@ -299,7 +301,10 @@ def evaluate_chained(
     keys = jax.random.split(rng, num_episodes)
 
     cache_key = (id(fw_env), id(bw_env), num_episodes, max_steps)
-    cached = _CHAIN_EVAL_CACHE.get(cache_key)
+    entry = _CHAIN_EVAL_CACHE.get(cache_key)
+    cached = None
+    if entry is not None and entry[0] is fw_env and entry[1] is bw_env:
+        cached = entry[2]
     if cached is not None:
         fw_succ, bw_succ = cached(fw_agent, bw_agent, keys)
         round_trip = fw_succ * bw_succ
@@ -344,7 +349,7 @@ def evaluate_chained(
         )
         return fw_succ, bw_succ
 
-    _CHAIN_EVAL_CACHE[cache_key] = rollout
+    _CHAIN_EVAL_CACHE[cache_key] = (fw_env, bw_env, rollout)
     fw_succ, bw_succ = rollout(fw_agent, bw_agent, keys)
     round_trip = fw_succ * bw_succ
     return {

@@ -197,3 +197,50 @@ def test_cube_dropped_into_walled_bin_stays():
     assert abs(float(p.cube_pos[0]) - 0.45) < env.BIN_HALF + 0.01
     assert abs(float(p.cube_pos[1]) - 0.15) < env.BIN_HALF + 0.01
     assert float(p.cube_pos[2]) < 0.05  # on the bin floor -> success region
+
+
+def test_auto_reset_replaces_cube_in_source_bin():
+    """Regression (round-4 find): `step_auto_reset` calls `_reset_state`,
+    which BinRelocationEnv did not override — so auto-reset episodes kept the
+    cube wherever the previous episode left it. Any episode ending with the
+    cube in the TARGET bin then started the next episode pre-solved (free
+    success farming, train success >> eval success in every r3 fwbw log)."""
+    env = BinRelocationEnv(task_id=0, dense_shaping=False)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    # drop the cube in the TARGET bin and force episode end (time limit)
+    tgt = env.FW_BIN
+    phys = state.physics._replace(
+        cube_pos=jnp.concatenate([tgt, jnp.asarray([0.02])])
+    )
+    state = state._replace(physics=phys, t=jnp.asarray(env.time_limit_steps))
+    new_state, obs, r, done, info = env.step_auto_reset(
+        state, jnp.zeros(env.ACTION_DIM)
+    )
+    assert float(done) == 1.0
+    cube = new_state.physics.cube_pos
+    src = env.BW_BIN
+    assert float(jnp.linalg.norm(cube[:2] - src)) < 0.05, (
+        f"auto-reset must re-place the cube in the SOURCE bin, got {cube}"
+    )
+
+
+def test_demo_reset_bank_resets_into_bank_states():
+    """With demo_reset_prob=1 every reset must restore a bank state's physics
+    (cube + arm) while keeping a fresh episode clock."""
+    env = BinRelocationEnv(task_id=0, dense_shaping=False)
+    # bank of one distinctive state: cube floating mid-carry
+    state, _ = env.reset(jax.random.PRNGKey(1))
+    marked = state._replace(
+        physics=state.physics._replace(
+            cube_pos=jnp.asarray([0.45, 0.0, 0.123])
+        ),
+        t=jnp.asarray(57),
+    )
+    bank = jax.tree.map(lambda x: x[None], marked)
+    env.set_demo_reset_bank(bank, 1.0)
+    new_state, _ = env.reset(jax.random.PRNGKey(2))
+    assert float(jnp.abs(new_state.physics.cube_pos[2] - 0.123)) < 1e-6
+    assert int(new_state.t) == 0, "episode clock must be fresh"
+    env.set_demo_reset_bank(None, 0.0)
+    clean, _ = env.reset(jax.random.PRNGKey(3))
+    assert float(jnp.abs(clean.physics.cube_pos[2] - 0.123)) > 0.05

@@ -202,3 +202,59 @@ def test_episode_scoped_interventions_store_expert_actions():
     carry, _ = run_chunk(carry, 2)
     stored = np.asarray(carry.rb_state.data["actions"][:2])
     assert not np.allclose(stored, np.asarray(marker), atol=1e-3)
+
+
+def test_fused_pixel_loop_with_frame_stack():
+    """num_stack>1 end-to-end (VERDICT r3 #10): the live actor keeps a
+    rolling obs history (reference ChunkingWrapper, chunking.py:34-77) via
+    chunk_init/chunk_push, the buffer reconstructs T-stacks at sample time,
+    and eval threads the same history."""
+    from serl_tpu.envs.panda_pick import PandaPickCubeEnv
+    from serl_tpu.training.launcher import (
+        make_drq_agent,
+        make_pixel_replay_buffer,
+    )
+    from serl_tpu.training.loop import LoopConfig, evaluate, make_fused_loop
+    from serl_tpu.envs.wrappers import add_stack_axis, serl_obs
+
+    env = PandaPickCubeEnv(image_obs=True, render_size=32)
+    config = LoopConfig(
+        num_envs=4, batch_size=8, utd_ratio=2, updates_per_iter=1,
+        training_starts=16, random_steps=8, buffer_capacity=256,
+    )
+    rb = make_pixel_replay_buffer(
+        capacity=config.buffer_capacity, image_size=32, num_stack=2,
+    )
+    shapes = jax.eval_shape(
+        lambda k: jax.tree.map(
+            lambda x: x[None],
+            add_stack_axis(serl_obs(env.reset(k)[1]), rb.image_keys),
+        ),
+        jax.random.PRNGKey(0),
+    )
+    # the agent sees an explicit T=2 stack axis
+    sample = jax.tree.map(
+        lambda s: jnp.zeros(
+            (s.shape[0], 2) + s.shape[2:] if len(s.shape) == 5 else s.shape,
+            s.dtype,
+        ),
+        shapes,
+    )
+    agent = make_drq_agent(
+        0, sample, jnp.zeros((1, 4)), image_keys=rb.image_keys,
+        encoder_type="small",
+    )
+    init_fn, run_chunk = make_fused_loop(env, rb, config)
+    carry = init_fn(agent, jax.random.PRNGKey(0))
+    assert carry.chunk is not None
+    for k in rb.image_keys:
+        assert carry.chunk.frames[k].shape == (4, 2, 32, 32, 3)
+    carry, metrics = run_chunk(carry, 8)
+    assert int(carry.env_steps) == 32
+    assert int(carry.agent.state.step) > 0  # updates ran on stacked batches
+    assert np.isfinite(np.asarray(metrics["critic_loss"])).all()
+    ev = evaluate(
+        env, carry.agent, jax.random.PRNGKey(1), num_episodes=2,
+        pixel_keys=rb.image_keys, num_stack=2,
+    )
+    assert 0.0 <= ev["eval/success_rate"] <= 1.0

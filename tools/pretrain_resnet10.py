@@ -151,7 +151,9 @@ def main():
     print(f"final loss {float(loss):.4f}", flush=True)
 
     # export the backbone subtree in the reference graft layout, f16
-    backbone_params = jax.device_get(params["pretrained_encoder"])
+    # (flax names the submodule by its attribute name, "backbone")
+    key = "backbone" if "backbone" in params else "pretrained_encoder"
+    backbone_params = jax.device_get(params[key])
     backbone_params = jax.tree.map(
         lambda x: np.asarray(x, np.float16), backbone_params
     )
