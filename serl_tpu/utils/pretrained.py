@@ -72,7 +72,13 @@ def load_resnet10_params(
                     )
                 log.warning("pretrained params missing module %s", k)
                 continue
-            new = jax.tree.map(jnp.asarray, encoder_params[k])
+            # cast to the agent's param dtype: the pkl may be stored f16
+            # (artifact size), but the loop carry requires dtype stability
+            new = jax.tree.map(
+                lambda x, old: jnp.asarray(x, old.dtype),
+                encoder_params[k],
+                subtree[k],
+            )
             old_shapes = jax.tree.map(jnp.shape, subtree[k])
             new_shapes = jax.tree.map(jnp.shape, new)
             if old_shapes != new_shapes:
