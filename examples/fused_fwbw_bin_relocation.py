@@ -60,6 +60,9 @@ def main():
     # expert-visited state (mid-grasp / mid-carry / over-bin), making sparse
     # reward reachable from late-phase states first
     p.add_argument("--demo_reset_prob", type=float, default=0.0)
+    # Q-filtered BC auxiliary on the actor (SACfD shape) — demo-heavy sparse
+    # recipes benefit; self-anneals once the policy's Q beats the demos'
+    p.add_argument("--bc_weight", type=float, default=0.0)
     p.add_argument("--total_steps", type=int, default=200_000)
     p.add_argument("--eval_period", type=int, default=8000)
     p.add_argument("--log", type=str, default=None)
@@ -90,9 +93,11 @@ def main():
     }
     rb = ReplayBuffer(example, capacity=config.buffer_capacity)
     fw_agent = make_sac_agent(args.seed, obs_dim=OBS_DIM, action_dim=ACT_DIM,
-                              discount=args.discount)
+                              discount=args.discount,
+                              bc_regularization=args.bc_weight)
     bw_agent = make_sac_agent(args.seed + 1, obs_dim=OBS_DIM,
-                              action_dim=ACT_DIM, discount=args.discount)
+                              action_dim=ACT_DIM, discount=args.discount,
+                              bc_regularization=args.bc_weight)
 
     out = open(args.log, "a") if args.log else sys.stdout
 

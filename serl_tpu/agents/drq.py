@@ -122,6 +122,8 @@ class DrQAgent(SACAgent):
         return out
 
     def _augment_batch(self, batch: Batch, rng: PRNGKey) -> Batch:
+        if not getattr(self.config, "augment", True):
+            return batch
         rng, k_obs, k_next = jax.random.split(rng, 3)
         batch = dict(batch)
         batch["observations"] = self.data_augmentation_fn(
@@ -176,6 +178,8 @@ class DrQAgent(SACAgent):
         encoder_type: str = "small",
         shared_encoder: bool = False,
         use_proprio: bool = True,
+        custom_encoders: Optional[dict] = None,  # per-key modules (perf ablations)
+        augment: bool = True,
         image_keys: Iterable[str] = ("image",),
         critic_network_kwargs: dict = {"hidden_dims": (256, 256)},
         policy_network_kwargs: dict = {"hidden_dims": (256, 256)},
@@ -188,7 +192,7 @@ class DrQAgent(SACAgent):
         temperature_init: float = 1.0,
         **kwargs,
     ) -> "DrQAgent":
-        encoders = make_image_encoders(
+        encoders = custom_encoders or make_image_encoders(
             encoder_type, image_keys, shared=shared_encoder
         )
         encoder_def = ObsEncoder(
@@ -211,6 +215,10 @@ class DrQAgent(SACAgent):
             image_keys=tuple(image_keys),
             **kwargs,
         )
+        if not augment:
+            agent = agent.replace(
+                config=agent.config._replace(augment=False)
+            )
         if encoder_type == "resnet-pretrained":
             from serl_tpu.utils.pretrained import load_resnet10_params
 

@@ -59,6 +59,10 @@ class SACConfig(NamedTuple):
     image_keys: Tuple[str, ...] = ()
     has_encoder: bool = False
     vice_image_keys: Tuple[str, ...] = ()  # used by VICEAgent only
+    augment: bool = True  # DrQ random-crop on update batches (perf ablations)
+    # weight of the Q-filtered BC auxiliary on the actor (0 = off); see
+    # policy_loss_fn. Used by demo-heavy sparse recipes (fwbw).
+    bc_regularization: float = 0.0
 
 
 class SACAgent(struct.PyTreeNode):
@@ -190,11 +194,29 @@ class SACAgent(struct.PyTreeNode):
         )
         predicted_q = predicted_qs.mean(axis=0)
         actor_loss = -jnp.mean(predicted_q - temperature * log_probs)
-        return actor_loss, {
+        info = {
             "actor_loss": actor_loss,
             "temperature": temperature,
             "entropy": -log_probs.mean(),
         }
+        if self.config.bc_regularization > 0.0:
+            # Q-filtered behavior-cloning auxiliary (SACfD / Nair et al.
+            # "Overcoming Exploration with Demonstrations"): pull the policy
+            # toward batch actions ONLY where the critic thinks the batch
+            # action beats the policy's own — so demonstrations guide early
+            # and the term self-anneals once the policy surpasses them.
+            batch_a = jnp.clip(batch["actions"], -0.999, 0.999)
+            q_batch = self.forward_critic(
+                batch["observations"], batch_a, rng=critic_key
+            ).mean(axis=0)
+            better = (q_batch > predicted_q).astype(jnp.float32)
+            bc_nll = -dist.log_prob(batch_a)
+            bc_loss = (better * bc_nll).sum() / jnp.maximum(better.sum(), 1.0)
+            actor_loss = actor_loss + self.config.bc_regularization * bc_loss
+            info["actor_loss"] = actor_loss
+            info["bc_loss"] = bc_loss
+            info["bc_active_frac"] = better.mean()
+        return actor_loss, info
 
     def temperature_loss_fn(self, batch: Batch, params: Params, rng: PRNGKey):
         rng, next_action_key = jax.random.split(rng)
@@ -338,6 +360,7 @@ class SACAgent(struct.PyTreeNode):
         critic_ensemble_size: int = 2,
         critic_subsample_size: Optional[int] = None,
         image_keys: Tuple[str, ...] = (),
+        bc_regularization: float = 0.0,
     ) -> "SACAgent":
         if target_entropy is None:
             target_entropy = -actions.shape[-1] / 2
@@ -381,6 +404,7 @@ class SACAgent(struct.PyTreeNode):
                 critic_subsample_size=critic_subsample_size,
                 image_keys=tuple(image_keys),
                 has_encoder=encoder_def is not None,
+                bc_regularization=bc_regularization,
             ),
             actor_def=actor_def,
             critic_def=critic_def,

@@ -102,10 +102,17 @@ def relocation_expert_action(
     noise_scale: float = 0.0,
 ) -> jnp.ndarray:
     """(7,) expert for BinRelocationEnv: pick the cube, carry it over the
-    target bin, release. Geometric state machine like `expert_action`."""
+    target bin, release. Geometric state machine like `expert_action`.
+
+    IMPORTANT (round-4 find): the action must be computed from OBSERVABLE
+    quantities only (tcp pose, cube pos, gripper drive) — never from the
+    hidden mocap controller target. An expert steering `target - mocap` is
+    NOT a function of the observation (tcp lags mocap by ~1-2 cm; at
+    action_scale 0.02 that is ~0.5 action error), so neither BC nor the
+    RLPD policy could ever clone its stored intervention actions — the
+    round-3 fwbw runs trained on unlearnable expert labels."""
     phys = state.physics
     tcp, _, cube = engine.observe(phys)
-    mocap = phys.mocap_pos
     theta = phys.theta
     tgt = jnp.asarray(target_bin, jnp.float32)
 
@@ -132,7 +139,14 @@ def relocation_expert_action(
         release, -1.0, jnp.where(near_grasp | closing | holding, 1.0, -1.0)
     )
 
-    dpos = jnp.clip((target - mocap) / action_scale[0], -1.0, 1.0)
+    # PD control on OBSERVED quantities: proportional on the tcp error,
+    # derivative on tcp_vel to damp the tcp->mocap tracking lag (gain sweep
+    # at the bin task's action_scale 0.05: kp_div=2*scale, kd=1.0 gives
+    # 0.88 success; pure P at any gain oscillates to ~0)
+    _, tcp_vel, _ = engine.observe(phys)
+    dpos = jnp.clip(
+        (target - tcp) / (action_scale[0] * 2.0) - 1.0 * tcp_vel, -1.0, 1.0
+    )
     action = jnp.concatenate([dpos, jnp.zeros(3), grasp[None]])
     if rng is not None and noise_scale > 0.0:
         action = action + noise_scale * jax.random.normal(rng, (7,))

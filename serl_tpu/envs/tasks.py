@@ -347,10 +347,23 @@ class BinRelocationEnv(PandaPoseTaskEnv):
     WALL_THICKNESS = 0.008
 
     def __init__(self, task_id: int = 0, dense_shaping: bool = True, **kwargs):
+        # reference BinEnvConfig (bin_relocation_env/config.py): TIGHT
+        # safety box — a corridor spanning both bins (x +-0.07, y covering
+        # both bins, z within ~0.15 of the table) with roll/pitch pinned to
+        # +-0.01 and yaw to +-pi/6, and ACTION_SCALE (0.05, 0.1, 1). The
+        # r3 config inherited the unconstrained defaults (whole workspace,
+        # free rotation) — exploration never found the grasp (the same box
+        # that our peg config docstring calls the thing that makes
+        # sparse-reward recipes tractable).
         cfg = PoseTaskConfig(
             target_pose=(0.45, 0.15 if task_id == 0 else -0.15, 0.1, 3.14159, 0, 0),
-            reset_pose=(0.45, -0.15 if task_id == 0 else 0.15, 0.2, 3.14159, 0, 0),
+            reset_pose=(0.45, -0.15 if task_id == 0 else 0.15, 0.18, 3.14159, 0, 0),
+            action_scale=(0.05, 0.1, 1.0),
             gripper_penalty=0.1,
+            cartesian_lo=(0.38, -0.23, 0.012),
+            cartesian_hi=(0.52, 0.23, 0.20),
+            rot_lo=(_PI - 0.01, -0.01, -_PI / 6),
+            rot_hi=(_PI + 0.01, 0.01, _PI / 6),
         )
         super().__init__(config=cfg, **kwargs)
         self.task_id = task_id

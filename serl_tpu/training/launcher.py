@@ -22,8 +22,11 @@ def _round_up(n: int, k: int) -> int:
 
 
 def make_sac_agent(seed: int, obs_dim: int = STATE_OBS_DIM,
-                   action_dim: int = ACTION_DIM, discount: float = 0.99) -> SACAgent:
-    """State-based SAC with reference defaults (launcher.py:50-76)."""
+                   action_dim: int = ACTION_DIM, discount: float = 0.99,
+                   **kwargs) -> SACAgent:
+    """State-based SAC with reference defaults (launcher.py:50-76).
+
+    Extra kwargs (e.g. bc_regularization) pass through to create_states."""
     return SACAgent.create_states(
         jax.random.PRNGKey(seed),
         jnp.zeros((1, obs_dim)),
@@ -49,6 +52,7 @@ def make_sac_agent(seed: int, obs_dim: int = STATE_OBS_DIM,
         backup_entropy=False,
         critic_ensemble_size=10,
         critic_subsample_size=2,
+        **kwargs,
     )
 
 

@@ -303,19 +303,46 @@ class SmallEncoder(nn.Module):
     bottleneck_dim: Optional[int] = 256
     spatial_block_size: int = 8
     compute_dtype: Any = jnp.float32
+    # MXU stem experiments (tools/mfu_experiments.py): the 3-channel first
+    # conv wastes contraction lanes. `pad_input_channels` zero-pads the RGB
+    # input to N channels (same function — the extra kernel taps multiply
+    # zeros). `space_to_depth_stem` rewrites conv1 exactly as
+    # space-to-depth(2) + a 2x2 stride-1 conv over 12 channels (K=48
+    # contraction instead of 27; the function family is a superset of the
+    # original stride-2 3x3 conv).
+    pad_input_channels: Optional[int] = None
+    space_to_depth_stem: bool = False
 
     @nn.compact
     def __call__(self, observations, train: bool = False, encode: bool = True):
         x = observations.astype(self.compute_dtype) / 255.0
+        if self.pad_input_channels:
+            extra = self.pad_input_channels - x.shape[-1]
+            if extra > 0:
+                x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, extra)])
         for i, f in enumerate(self.features):
             pad = self.padding if isinstance(self.padding, str) else self.padding[i]
-            x = nn.Conv(
-                f,
-                kernel_size=(self.kernel_sizes[i],) * 2,
-                strides=(self.strides[i],) * 2,
-                padding=pad,
-                dtype=self.compute_dtype,
-            )(x)
+            if i == 0 and self.space_to_depth_stem and self.strides[0] == 2:
+                # (..., H, W, C) -> (..., H/2, W/2, 4C)
+                *lead, H, W, C = x.shape
+                x = x.reshape(*lead, H // 2, 2, W // 2, 2, C)
+                x = jnp.moveaxis(x, -4, -2)  # (..., H/2, W/2, 2, 2, C)
+                x = x.reshape(*lead, H // 2, W // 2, 4 * C)
+                x = nn.Conv(
+                    f,
+                    kernel_size=(2, 2),
+                    strides=(1, 1),
+                    padding="VALID",
+                    dtype=self.compute_dtype,
+                )(x)
+            else:
+                x = nn.Conv(
+                    f,
+                    kernel_size=(self.kernel_sizes[i],) * 2,
+                    strides=(self.strides[i],) * 2,
+                    padding=pad,
+                    dtype=self.compute_dtype,
+                )(x)
             x = nn.relu(x)
         x = x.astype(jnp.float32)
         x = _pool(
