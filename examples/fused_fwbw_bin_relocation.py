@@ -170,6 +170,11 @@ def main():
     chunk = max(args.eval_period // (2 * config.envs_per_task), 1)
     t0 = time.time()
     prev = {"fw": (0, 0.0, 0.0), "bw": (0, 0.0, 0.0)}
+    # best-checkpoint selection: SAC on sparse long-horizon tasks oscillates
+    # between evals; keep the best fw/bw agents seen (the reference's human
+    # effectively does this by watching the run and stopping at a good
+    # policy) and report the final round-trip with the best pair.
+    best = {"fw": (-1.0, None), "bw": (-1.0, None)}
     while int(carry.env_steps) < args.total_steps:
         carry, m = run_chunk(carry, chunk)
         steps = int(carry.env_steps)
@@ -190,9 +195,14 @@ def main():
         )
         line += (
             f" eval_fw {ev['eval/fw_success']:.2f}"
+            f" eval_bw {ev['eval/bw_success']:.2f}"
             f" eval_bw|fw {ev['eval/bw_success_given_fw']:.2f}"
             f" round_trip {ev['eval/round_trip_success']:.2f}"
         )
+        if ev["eval/fw_success"] > best["fw"][0]:
+            best["fw"] = (ev["eval/fw_success"], carry.fw.agent)
+        if ev["eval/bw_success"] > best["bw"][0]:
+            best["bw"] = (ev["eval/bw_success"], carry.bw.agent)
         print(line, file=out, flush=True)
         if ev["eval/round_trip_success"] >= 0.8:
             print(
@@ -202,6 +212,21 @@ def main():
                 flush=True,
             )
             break
+
+    if best["fw"][1] is not None and best["bw"][1] is not None:
+        final = evaluate_chained(
+            eval_fw_env, eval_bw_env, best["fw"][1], best["bw"][1],
+            jax.random.PRNGKey(123456), num_episodes=64,
+        )
+        print(
+            f"BEST-PAIR final (fw sel {best['fw'][0]:.2f}, bw sel "
+            f"{best['bw'][0]:.2f}, 64 episodes): "
+            f"eval_fw {final['eval/fw_success']:.2f} "
+            f"eval_bw {final['eval/bw_success']:.2f} "
+            f"eval_bw|fw {final['eval/bw_success_given_fw']:.2f} "
+            f"round_trip {final['eval/round_trip_success']:.2f}",
+            file=out, flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -388,7 +388,11 @@ class BinRelocationEnv(PandaPoseTaskEnv):
         state = super()._reset_state(rng)
         src = self.BW_BIN if self.task_id == 0 else self.FW_BIN
         rng2 = jax.random.fold_in(rng, 99)
-        jitter = jax.random.uniform(rng2, (2,), minval=-0.03, maxval=0.03)
+        # jitter up to near the walls (BIN_HALF 0.06 - cube half 0.02 =
+        # 0.04 max): the chained eval hands over cubes wherever the other
+        # policy dropped them, including flush against a wall — training
+        # resets must cover that distribution
+        jitter = jax.random.uniform(rng2, (2,), minval=-0.038, maxval=0.038)
         phys = state.physics._replace(
             cube_pos=jnp.concatenate([src + jitter, jnp.asarray([0.02])]),
             cube_linvel=jnp.zeros(3),

@@ -306,10 +306,11 @@ def evaluate_chained(
     if entry is not None and entry[0] is fw_env and entry[1] is bw_env:
         cached = entry[2]
     if cached is not None:
-        fw_succ, bw_succ = cached(fw_agent, bw_agent, keys)
+        fw_succ, bw_succ, bw_solo = cached(fw_agent, bw_agent, keys)
         round_trip = fw_succ * bw_succ
         return {
             "eval/fw_success": float(fw_succ.mean()),
+            "eval/bw_success": float(bw_solo.mean()),
             "eval/bw_success_given_fw": float(
                 (bw_succ * fw_succ).sum() / jnp.maximum(fw_succ.sum(), 1.0)
             ),
@@ -318,12 +319,39 @@ def evaluate_chained(
 
     @jax.jit
     def rollout(fw_agent, bw_agent, keys):
+        # standalone bw diagnostic: bw from its OWN clean reset
+        bw_states, bw_obs = jax.vmap(bw_env.reset)(keys)
+
+        def bw_solo_body(carry, _):
+            states, obs, succ = carry
+            actions = bw_agent.sample_actions(flatten_obs(obs), argmax=True)
+            states, obs, r, d, info = jax.vmap(bw_env.step)(states, actions)
+            succ = jnp.maximum(succ, info["success"])
+            return (states, obs, succ), None
+
+        (_, _, bw_solo_succ), _ = jax.lax.scan(
+            bw_solo_body, (bw_states, bw_obs, jnp.zeros(num_episodes)), None,
+            length=max_steps,
+        )
+
         states, obs = jax.vmap(fw_env.reset)(keys)
 
         def fw_body(carry, _):
             states, obs, succ = carry
             actions = fw_agent.sample_actions(flatten_obs(obs), argmax=True)
-            states, obs, r, d, info = jax.vmap(fw_env.step)(states, actions)
+            new_states, new_obs, r, d, info = jax.vmap(fw_env.step)(
+                states, actions
+            )
+            # FREEZE an env at its first success: the reference's task graph
+            # switches to bw at the classifier-success moment
+            # (async_drq_randomized.py:265-272) — stepping on would let the
+            # fw policy disturb the delivered cube before the handoff
+            frozen = succ > 0.5
+            sel = lambda a, b: jnp.where(
+                frozen.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+            )
+            states = jax.tree.map(sel, states, new_states)
+            obs = jax.tree.map(sel, obs, new_obs)
             succ = jnp.maximum(succ, info["success"])
             return (states, obs, succ), None
 
@@ -347,13 +375,14 @@ def evaluate_chained(
             bw_body, (states, obs, jnp.zeros(num_episodes)), None,
             length=max_steps,
         )
-        return fw_succ, bw_succ
+        return fw_succ, bw_succ, bw_solo_succ
 
     _CHAIN_EVAL_CACHE[cache_key] = (fw_env, bw_env, rollout)
-    fw_succ, bw_succ = rollout(fw_agent, bw_agent, keys)
+    fw_succ, bw_succ, bw_solo = rollout(fw_agent, bw_agent, keys)
     round_trip = fw_succ * bw_succ
     return {
         "eval/fw_success": float(fw_succ.mean()),
+        "eval/bw_success": float(bw_solo.mean()),
         "eval/bw_success_given_fw": float(
             (bw_succ * fw_succ).sum() / jnp.maximum(fw_succ.sum(), 1.0)
         ),
