@@ -50,6 +50,7 @@ def main():
     p.add_argument("--intervention_mode", default="episode",
                    choices=["step", "episode", "rescue"])
     p.add_argument("--intervention_decay_steps", type=int, default=100_000)
+    p.add_argument("--intervention_min_prob", type=float, default=0.0)
     p.add_argument("--discount", type=float, default=0.97)
     p.add_argument("--num_demos", type=int, default=20)
     p.add_argument("--sparse", action="store_true",
@@ -82,6 +83,7 @@ def main():
         intervention_prob=args.intervention_prob,
         intervention_mode=args.intervention_mode,
         intervention_decay_steps=args.intervention_decay_steps,
+        intervention_min_prob=args.intervention_min_prob,
     )
     example = {
         "observations": jnp.zeros((OBS_DIM,)),
@@ -199,10 +201,13 @@ def main():
             f" eval_bw|fw {ev['eval/bw_success_given_fw']:.2f}"
             f" round_trip {ev['eval/round_trip_success']:.2f}"
         )
+        # run_chunk donates the carry: keep COPIES or the saved agent's
+        # arrays are deleted by the next chunk
+        snap = lambda a: jax.tree.map(lambda x: jnp.array(x, copy=True), a)
         if ev["eval/fw_success"] > best["fw"][0]:
-            best["fw"] = (ev["eval/fw_success"], carry.fw.agent)
+            best["fw"] = (ev["eval/fw_success"], snap(carry.fw.agent))
         if ev["eval/bw_success"] > best["bw"][0]:
-            best["bw"] = (ev["eval/bw_success"], carry.bw.agent)
+            best["bw"] = (ev["eval/bw_success"], snap(carry.bw.agent))
         print(line, file=out, flush=True)
         if ev["eval/round_trip_success"] >= 0.8:
             print(

@@ -292,6 +292,18 @@ class ReplayBuffer:
     def _sample_aligned(
         self, state: ReplayBufferState, rng: PRNGKey, batch_size: int
     ) -> Batch:
+        """Stream-aligned sampling: draws EXACTLY batch/streams rows per
+        stream, uniform over the valid slot window within each stream.
+
+        Distribution note (vs the reference's iid-uniform buffer sampling):
+        this is stratified by stream, not iid — the joint distribution fixes
+        the per-stream count, but because lockstep inserts keep every
+        stream's valid window identical, the MARGINAL distribution over
+        buffer rows is exactly uniform (each (slot, stream) cell has equal
+        inclusion probability; pinned by
+        tests/test_replay_buffer.py::test_aligned_sampling_is_uniform_per_stream).
+        The stratification is what keeps the gather shard-local under the dp
+        layout (docs/scaling.md)."""
         slots, streams = state.ep_id.shape
         R = batch_size // streams
         if self.store_next_obs:

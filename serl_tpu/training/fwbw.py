@@ -47,6 +47,9 @@ class FwBwConfig(NamedTuple):
     # linear anneal of intervention_prob to 0 over this many env steps
     # (the recipe that made peg insert learn — loop.py)
     intervention_decay_steps: Optional[int] = None
+    # floor the annealed probability (DAgger-style: keep a trickle of fresh
+    # expert episodes in the buffer for the whole run)
+    intervention_min_prob: float = 0.0
 
 
 class TaskCarry(NamedTuple):
@@ -94,6 +97,7 @@ def make_fwbw_loop(
                 config.intervention_decay_steps
             )
             p = p * jnp.clip(frac, 0.0, 1.0)
+            p = jnp.maximum(p, config.intervention_min_prob)
         return p
 
     def _init_task(env, agent, rng, demo_state):

@@ -69,6 +69,9 @@ class LoopConfig(NamedTuple):
     # steps (None = constant): the reference's human intervenes heavily in
     # the first minutes and stops once the policy is competent
     intervention_decay_steps: Optional[int] = None
+    # floor the annealed probability (DAgger-style: keep a trickle of fresh
+    # expert episodes in the buffer for the whole run)
+    intervention_min_prob: float = 0.0
 
 
 class LoopCarry(NamedTuple):
@@ -127,6 +130,7 @@ def make_fused_loop(
                 config.intervention_decay_steps
             )
             p = p * jnp.clip(frac, 0.0, 1.0)
+            p = jnp.maximum(p, config.intervention_min_prob)
         return p
 
     def to_buffer_obs(obs_dict):
