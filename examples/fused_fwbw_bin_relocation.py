@@ -193,7 +193,7 @@ def main():
             prev[task] = (ep, ret, suc)
         ev = evaluate_chained(
             eval_fw_env, eval_bw_env, carry.fw.agent, carry.bw.agent,
-            jax.random.PRNGKey(steps),
+            jax.random.PRNGKey(steps), num_episodes=32,
         )
         line += (
             f" eval_fw {ev['eval/fw_success']:.2f}"
