@@ -37,6 +37,56 @@ OBS_DIM = 13  # tcp_pose(6) + tcp_vel(3) + gripper(1) + block_pos(3)
 ACT_DIM = 7
 
 
+def collect_handoff_states(fw_env, num_states, seed):
+    """States where the FW expert just delivered the cube — the exact
+    distribution the bw policy faces at the task-graph switch (arm low over
+    the fw bin, gripper just opened, cube settling wherever it was dropped,
+    incl. near walls). Chained-eval's bw|fw stays far below bw-solo unless
+    bw TRAINS on this distribution."""
+    from serl_tpu.envs.scripted_expert import relocation_expert_action
+
+    n = max(num_states // 2, 8)
+    expert = lambda s: relocation_expert_action(
+        s, fw_env.FW_BIN, jnp.asarray(fw_env.config.action_scale)
+    )
+
+    @jax.jit
+    def rollout(keys):
+        states, _ = jax.vmap(fw_env.reset)(keys)
+
+        def body(carry, _):
+            states, succ = carry
+            a = jax.vmap(expert)(states)
+            new_states, _, r, d, info = jax.vmap(fw_env.step)(states, a)
+            frozen = succ > 0.5
+            sel = lambda x, y: jnp.where(
+                frozen.reshape((-1,) + (1,) * (x.ndim - 1)), x, y
+            )
+            states = jax.tree.map(sel, states, new_states)
+            succ = jnp.maximum(succ, info["success"])
+            return (states, succ), None
+
+        (states, succ), _ = jax.lax.scan(
+            body, (states, jnp.zeros(n)), None, length=100
+        )
+        return states._replace(t=jnp.zeros_like(states.t)), succ
+
+    banks, keep = [], []
+    for i in range(2):
+        keys = jax.random.split(jax.random.PRNGKey(seed + i), n)
+        states, succ = rollout(keys)
+        banks.append(states)
+        keep.append(succ > 0.5)
+    import numpy as np
+
+    bank = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), *banks)
+    mask = np.asarray(jnp.concatenate(keep))
+    # keep only successful deliveries; wrap to num_states (bank sampling is
+    # uniform so duplicates are harmless)
+    idx = jnp.asarray(np.resize(np.nonzero(mask)[0], num_states))
+    return jax.tree.map(lambda x: x[idx], bank), float(mask.mean())
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--seed", type=int, default=0)
@@ -64,6 +114,9 @@ def main():
     # Q-filtered BC auxiliary on the actor (SACfD shape) — demo-heavy sparse
     # recipes benefit; self-anneals once the policy's Q beats the demos'
     p.add_argument("--bc_weight", type=float, default=0.0)
+    # make half of bw's demos/reset states start from fw-expert handoff
+    # states (the chained-eval switch distribution)
+    p.add_argument("--handoff_aug", action="store_true")
     p.add_argument("--total_steps", type=int, default=200_000)
     p.add_argument("--eval_period", type=int, default=8000)
     p.add_argument("--log", type=str, default=None)
@@ -103,6 +156,27 @@ def main():
 
     out = open(args.log, "a") if args.log else sys.stdout
 
+    # handoff-state bank: the chained eval hands bw the state where fw just
+    # delivered — a distribution bw's clean resets never cover (lower arm,
+    # freshly-opened gripper, settling cube, possibly near a wall, rotated
+    # yaw). Collecting fw-expert deliveries and making HALF of bw's demos
+    # and reset states start there closes the bw|fw << bw-solo gap.
+    handoff_bank = None
+    if args.handoff_aug:
+        handoff_bank, dfrac = collect_handoff_states(
+            BinRelocationEnv(task_id=0, dense_shaping=not args.sparse),
+            num_states=256, seed=args.seed + 9000,
+        )
+        print(
+            f"handoff bank: 256 states (fw-expert delivery rate {dfrac:.2f})",
+            file=out, flush=True,
+        )
+        # a bw env whose every reset is a handoff state (for demo collection)
+        bw_handoff_env = BinRelocationEnv(
+            task_id=1, dense_shaping=not args.sparse
+        )
+        bw_handoff_env.set_demo_reset_bank(handoff_bank, 0.5)
+
     # per-task RLPD demos: auto-reset scripted relocation episodes (every
     # row an approach/carry step — see the peg recipe, RESULTS.md)
     fw_demo = bw_demo = None
@@ -113,8 +187,11 @@ def main():
             expert = lambda s, _tgt=tgt, _env=env: relocation_expert_action(
                 s, _tgt, jnp.asarray(_env.config.action_scale)
             )
+            demo_env = env
+            if name == "bw" and handoff_bank is not None:
+                demo_env = bw_handoff_env  # half of resets below are handoffs
             trans = demo_lib.collect_episodes(
-                env,
+                demo_env,
                 lambda states, rng, _e=expert: jax.vmap(_e)(states),
                 jax.random.PRNGKey(args.seed + 1000 + env.task_id),
                 num_episodes=args.num_demos,
@@ -145,13 +222,22 @@ def main():
             expert = lambda s, _tgt=tgt, _env=env: relocation_expert_action(
                 s, _tgt, jnp.asarray(_env.config.action_scale)
             )
+            bank_env = env
+            if env.task_id == 1 and handoff_bank is not None:
+                bank_env = bw_handoff_env
             bank = demo_lib.collect_state_bank(
-                env,
+                bank_env,
                 lambda states, rng, _e=expert: jax.vmap(_e)(states),
                 jax.random.PRNGKey(args.seed + 5000 + env.task_id),
                 num_streams=8,
                 steps=env.time_limit_steps,
             )
+            if env.task_id == 1 and handoff_bank is not None:
+                # bw training resets draw from expert states AND raw
+                # handoff states
+                bank = jax.tree.map(
+                    lambda a, b: jnp.concatenate([a, b]), bank, handoff_bank
+                )
             env.set_demo_reset_bank(bank, args.demo_reset_prob)
             print(
                 f"task {env.task_id}: demo-reset bank of "

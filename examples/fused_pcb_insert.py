@@ -53,6 +53,8 @@ def main():
     # the proven sparse-reward recipe (peg, results/peg_insert_rlpd_v5e.log)
     p.add_argument("--intervention_prob", type=float, default=0.5)
     p.add_argument("--intervention_decay_steps", type=int, default=100_000)
+    p.add_argument("--intervention_min_prob", type=float, default=0.0)
+    p.add_argument("--bc_weight", type=float, default=0.0)
     p.add_argument("--discount", type=float, default=0.97)
     p.add_argument("--total_steps", type=int, default=200_000)
     p.add_argument("--checkpoint_dir", type=str, default=None)
@@ -105,6 +107,7 @@ def main():
         intervention_prob=args.intervention_prob,
         intervention_mode="episode",
         intervention_decay_steps=args.intervention_decay_steps,
+        intervention_min_prob=args.intervention_min_prob,
     )
     rb = ReplayBuffer(
         {
@@ -118,7 +121,8 @@ def main():
         capacity=config.buffer_capacity,
     )
     agent = make_sac_agent(args.seed, obs_dim=OBS_DIM, action_dim=ACT_DIM,
-                           discount=args.discount)
+                           discount=args.discount,
+                           bc_regularization=args.bc_weight)
     init_fn, run_chunk = make_fused_loop(env, rb, config, expert_fn=expert)
 
     logger = Logger(

@@ -64,28 +64,45 @@ def pose_expert_action(
     align xy above the target, then descend to the target pose. The same
     role the spacemouse operator plays when recording demos / intervening in
     the reference's real-robot examples (record_demo.py,
-    SpacemouseIntervention)."""
+    SpacemouseIntervention).
+
+    Acts on OBSERVABLE quantities (measured tcp pose from FK, tcp_vel) —
+    not the hidden mocap controller target — so BC / the RLPD policy can
+    actually clone the stored intervention actions (see
+    relocation_expert_action's round-4 note; an expert steering
+    `target - mocap` is not a function of the observation). PD with
+    tcp_vel damping keeps it stable under the tcp->mocap tracking lag."""
+    from serl_tpu.envs.physics.arm import fk
+    from serl_tpu.envs.physics.math3d import (
+        mat_to_quat,
+        quat_conj,
+        quat_mul,
+        quat_to_axis_angle,
+    )
+    from serl_tpu.envs.wrappers import euler_to_quat
+
     phys = state.physics
-    mocap = phys.mocap_pos
+    kin = fk(phys.qpos)
+    tcp = kin.pinch_pos
+    _, tcp_vel, _ = engine.observe(phys)
     target = jnp.asarray(target_pose[:3], jnp.float32)
 
-    xy_err = jnp.linalg.norm(mocap[:2] - target[:2])
+    xy_err = jnp.linalg.norm(tcp[:2] - target[:2])
     aligned = xy_err < 0.005
-    goal_z = jnp.where(aligned, target[2], jnp.maximum(mocap[2], approach_z))
+    goal_z = jnp.where(aligned, target[2], jnp.maximum(tcp[2], approach_z))
     goal = jnp.concatenate([target[:2], goal_z[None]])
 
-    dpos = jnp.clip((goal - mocap) / action_scale[0], -1.0, 1.0)
+    dpos = jnp.clip(
+        (goal - tcp) / (action_scale[0] * 2.0) - 1.0 * tcp_vel, -1.0, 1.0
+    )
     # steer orientation to the target euler (resets may randomize yaw —
     # reference RANDOM_RZ_RANGE), keep gripper. The env composes action[3:6]
     # as a world-frame axis-angle rotation (tasks.py step), so the exact
     # error is the axis-angle log of the relative rotation
-    # target * conj(current) — not the per-axis euler difference, which is
-    # only first-order correct for combined roll/pitch/yaw errors.
-    from serl_tpu.envs.physics.math3d import quat_conj, quat_mul, quat_to_axis_angle
-    from serl_tpu.envs.wrappers import euler_to_quat
-
+    # target * conj(current) of the MEASURED orientation.
     tgt_eul = jnp.asarray(target_pose[3:6], jnp.float32)
-    q_rel = quat_mul(euler_to_quat(tgt_eul), quat_conj(phys.mocap_quat))
+    cur_quat = mat_to_quat(kin.pinch_rmat)
+    q_rel = quat_mul(euler_to_quat(tgt_eul), quat_conj(cur_quat))
     err = quat_to_axis_angle(q_rel)
     drot = jnp.clip(err / jnp.maximum(action_scale[1], 1e-6), -1.0, 1.0)
     action = jnp.concatenate([dpos, drot, jnp.zeros(1)])

@@ -67,6 +67,7 @@ def test_evaluate_chained_shapes():
     )
     assert set(ev) == {
         "eval/fw_success",
+        "eval/bw_success",
         "eval/bw_success_given_fw",
         "eval/round_trip_success",
     }
