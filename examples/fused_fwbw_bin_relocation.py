@@ -37,27 +37,28 @@ OBS_DIM = 13  # tcp_pose(6) + tcp_vel(3) + gripper(1) + block_pos(3)
 ACT_DIM = 7
 
 
-def collect_handoff_states(fw_env, num_states, seed):
-    """States where the FW expert just delivered the cube — the exact
-    distribution the bw policy faces at the task-graph switch (arm low over
-    the fw bin, gripper just opened, cube settling wherever it was dropped,
-    incl. near walls). Chained-eval's bw|fw stays far below bw-solo unless
-    bw TRAINS on this distribution."""
+def collect_handoff_states(env, num_states, seed):
+    """States where the task's expert just delivered the cube — the exact
+    distribution the NEXT policy faces at the task-graph switch (arm low
+    over the delivery bin, gripper just opened, cube settling wherever it
+    was dropped, incl. near walls). Chained-eval's bw|fw stays far below
+    bw-solo unless bw TRAINS on this distribution."""
     from serl_tpu.envs.scripted_expert import relocation_expert_action
 
     n = max(num_states // 2, 8)
+    tgt = env.FW_BIN if env.task_id == 0 else env.BW_BIN
     expert = lambda s: relocation_expert_action(
-        s, fw_env.FW_BIN, jnp.asarray(fw_env.config.action_scale)
+        s, tgt, jnp.asarray(env.config.action_scale)
     )
 
     @jax.jit
     def rollout(keys):
-        states, _ = jax.vmap(fw_env.reset)(keys)
+        states, _ = jax.vmap(env.reset)(keys)
 
         def body(carry, _):
             states, succ = carry
             a = jax.vmap(expert)(states)
-            new_states, _, r, d, info = jax.vmap(fw_env.step)(states, a)
+            new_states, _, r, d, info = jax.vmap(env.step)(states, a)
             frozen = succ > 0.5
             sel = lambda x, y: jnp.where(
                 frozen.reshape((-1,) + (1,) * (x.ndim - 1)), x, y
@@ -161,21 +162,29 @@ def main():
     # freshly-opened gripper, settling cube, possibly near a wall, rotated
     # yaw). Collecting fw-expert deliveries and making HALF of bw's demos
     # and reset states start there closes the bw|fw << bw-solo gap.
-    handoff_bank = None
+    handoff_banks = {}
+    handoff_envs = {}
     if args.handoff_aug:
-        handoff_bank, dfrac = collect_handoff_states(
-            BinRelocationEnv(task_id=0, dense_shaping=not args.sparse),
-            num_states=256, seed=args.seed + 9000,
-        )
-        print(
-            f"handoff bank: 256 states (fw-expert delivery rate {dfrac:.2f})",
-            file=out, flush=True,
-        )
-        # a bw env whose every reset is a handoff state (for demo collection)
-        bw_handoff_env = BinRelocationEnv(
-            task_id=1, dense_shaping=not args.sparse
-        )
-        bw_handoff_env.set_demo_reset_bank(handoff_bank, 0.5)
+        for task_id in (0, 1):
+            # task task_id's handoff bank = states the OTHER task's expert
+            # delivers into (bw starts where fw ended and vice versa)
+            other = BinRelocationEnv(
+                task_id=1 - task_id, dense_shaping=not args.sparse
+            )
+            bank, dfrac = collect_handoff_states(
+                other, num_states=256, seed=args.seed + 9000 + task_id,
+            )
+            handoff_banks[task_id] = bank
+            print(
+                f"task {task_id} handoff bank: 256 states "
+                f"(delivery rate {dfrac:.2f})",
+                file=out, flush=True,
+            )
+            henv = BinRelocationEnv(
+                task_id=task_id, dense_shaping=not args.sparse
+            )
+            henv.set_demo_reset_bank(bank, 0.5)
+            handoff_envs[task_id] = henv
 
     # per-task RLPD demos: auto-reset scripted relocation episodes (every
     # row an approach/carry step — see the peg recipe, RESULTS.md)
@@ -188,8 +197,8 @@ def main():
                 s, _tgt, jnp.asarray(_env.config.action_scale)
             )
             demo_env = env
-            if name == "bw" and handoff_bank is not None:
-                demo_env = bw_handoff_env  # half of resets below are handoffs
+            if handoff_envs:
+                demo_env = handoff_envs[env.task_id]  # half-handoff resets
             trans = demo_lib.collect_episodes(
                 demo_env,
                 lambda states, rng, _e=expert: jax.vmap(_e)(states),
@@ -223,8 +232,8 @@ def main():
                 s, _tgt, jnp.asarray(_env.config.action_scale)
             )
             bank_env = env
-            if env.task_id == 1 and handoff_bank is not None:
-                bank_env = bw_handoff_env
+            if handoff_envs:
+                bank_env = handoff_envs[env.task_id]
             bank = demo_lib.collect_state_bank(
                 bank_env,
                 lambda states, rng, _e=expert: jax.vmap(_e)(states),
@@ -232,11 +241,12 @@ def main():
                 num_streams=8,
                 steps=env.time_limit_steps,
             )
-            if env.task_id == 1 and handoff_bank is not None:
-                # bw training resets draw from expert states AND raw
-                # handoff states
+            if handoff_banks:
+                # training resets draw from expert states AND raw handoff
+                # states
                 bank = jax.tree.map(
-                    lambda a, b: jnp.concatenate([a, b]), bank, handoff_bank
+                    lambda a, b: jnp.concatenate([a, b]),
+                    bank, handoff_banks[env.task_id],
                 )
             env.set_demo_reset_bank(bank, args.demo_reset_prob)
             print(

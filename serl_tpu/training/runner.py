@@ -71,6 +71,10 @@ def run_fused(
     t0 = time.time()
     chunk = 0
     prev = (0.0, 0.0, 0)
+    # best-eval tracking: sparse-reward policies oscillate between evals;
+    # keep the best params seen (the reference's checkpoint-every-N + pick
+    # pattern). Deep-copied — run_chunk donates the carry.
+    best = {"success": -1.0, "steps": 0, "params": None}
     while int(carry.env_steps) < total_env_steps:
         with timer.context("run_chunk"):
             carry, metrics = run_chunk(carry, chunk_iters)
@@ -111,6 +115,19 @@ def run_fused(
                 f"eval_ret {ev['eval/return_mean']:.1f}",
                 flush=True,
             )
+            if ev["eval/success_rate"] > best["success"]:
+                import jax.numpy as jnp
+
+                best = {
+                    "success": ev["eval/success_rate"],
+                    "steps": steps,
+                    "params": jax.tree.map(
+                        lambda x: jnp.array(x, copy=True),
+                        carry.agent.state.params,
+                    ),
+                }
+                if ckpt:
+                    ckpt.save(steps, {"agent_params": best["params"]})
             if success_stop is not None and ev["eval/success_rate"] >= success_stop:
                 print(f"SOLVED at {steps} env steps ({time.time()-t0:.0f}s)")
                 logger.log(log, step=steps)
@@ -130,6 +147,12 @@ def run_fused(
             return carry
         if ckpt and chunk % checkpoint_period_chunks == 0:
             ckpt.save(steps, {"agent_params": carry.agent.state.params})
+    if best["params"] is not None:
+        print(
+            f"BEST eval_succ {best['success']:.2f} at {best['steps']} env "
+            f"steps (checkpointed)" if ckpt else
+            f"BEST eval_succ {best['success']:.2f} at {best['steps']} env steps"
+        )
     if ckpt:
         ckpt.save(int(carry.env_steps), {"agent_params": carry.agent.state.params})
         ckpt.close()
