@@ -268,11 +268,20 @@ def main():
     chunk = max(args.eval_period // (2 * config.envs_per_task), 1)
     t0 = time.time()
     prev = {"fw": (0, 0.0, 0.0), "bw": (0, 0.0, 0.0)}
-    # best-checkpoint selection: SAC on sparse long-horizon tasks oscillates
-    # between evals; keep the best fw/bw agents seen (the reference's human
+    # checkpoint selection: SAC on sparse long-horizon tasks oscillates
+    # between evals; keep the TOP-K fw/bw snapshots (the reference's human
     # effectively does this by watching the run and stopping at a good
-    # policy) and report the final round-trip with the best pair.
-    best = {"fw": (-1.0, None), "bw": (-1.0, None)}
+    # policy). bw snapshots are ranked by bw|fw (the handoff metric — a
+    # bw that excels from clean resets can still fail the chained switch);
+    # the final pair is picked by a round-trip TOURNAMENT and the winner is
+    # re-evaluated on FRESH seeds to avoid selection bias.
+    TOP_K = 3
+    top = {"fw": [], "bw": []}  # lists of (score, agent-snapshot)
+
+    def _push(lst, score, agent):
+        lst.append((score, agent))
+        lst.sort(key=lambda t: -t[0])
+        del lst[TOP_K:]
     while int(carry.env_steps) < args.total_steps:
         carry, m = run_chunk(carry, chunk)
         steps = int(carry.env_steps)
@@ -300,10 +309,13 @@ def main():
         # run_chunk donates the carry: keep COPIES or the saved agent's
         # arrays are deleted by the next chunk
         snap = lambda a: jax.tree.map(lambda x: jnp.array(x, copy=True), a)
-        if ev["eval/fw_success"] > best["fw"][0]:
-            best["fw"] = (ev["eval/fw_success"], snap(carry.fw.agent))
-        if ev["eval/bw_success"] > best["bw"][0]:
-            best["bw"] = (ev["eval/bw_success"], snap(carry.bw.agent))
+        _push(top["fw"], ev["eval/fw_success"], snap(carry.fw.agent))
+        _push(
+            top["bw"],
+            # rank bw by the handoff metric, tie-broken by solo success
+            ev["eval/bw_success_given_fw"] + 0.01 * ev["eval/bw_success"],
+            snap(carry.bw.agent),
+        )
         print(line, file=out, flush=True)
         if ev["eval/round_trip_success"] >= 0.8:
             print(
@@ -314,14 +326,30 @@ def main():
             )
             break
 
-    if best["fw"][1] is not None and best["bw"][1] is not None:
+    if top["fw"] and top["bw"]:
+        # tournament: pick the pair with the best chained round-trip ...
+        best_pair, best_rt = None, -1.0
+        for i, (fs, fa) in enumerate(top["fw"]):
+            for j, (bs, ba) in enumerate(top["bw"]):
+                t = evaluate_chained(
+                    eval_fw_env, eval_bw_env, fa, ba,
+                    jax.random.PRNGKey(777), num_episodes=64,
+                )
+                print(
+                    f"tournament fw#{i}(sel {fs:.2f}) x bw#{j}(sel {bs:.2f}):"
+                    f" round_trip {t['eval/round_trip_success']:.2f}",
+                    file=out, flush=True,
+                )
+                if t["eval/round_trip_success"] > best_rt:
+                    best_rt = t["eval/round_trip_success"]
+                    best_pair = (fa, ba)
+        # ... then re-evaluate the winner on FRESH seeds (honest estimate)
         final = evaluate_chained(
-            eval_fw_env, eval_bw_env, best["fw"][1], best["bw"][1],
-            jax.random.PRNGKey(123456), num_episodes=64,
+            eval_fw_env, eval_bw_env, best_pair[0], best_pair[1],
+            jax.random.PRNGKey(999331), num_episodes=64,
         )
         print(
-            f"BEST-PAIR final (fw sel {best['fw'][0]:.2f}, bw sel "
-            f"{best['bw'][0]:.2f}, 64 episodes): "
+            f"TOURNAMENT-WINNER final (fresh 64 episodes): "
             f"eval_fw {final['eval/fw_success']:.2f} "
             f"eval_bw {final['eval/bw_success']:.2f} "
             f"eval_bw|fw {final['eval/bw_success_given_fw']:.2f} "
