@@ -31,10 +31,16 @@ from serl_tpu.training.fwbw import (
     evaluate_chained,
     make_fwbw_loop,
 )
-from serl_tpu.training.launcher import make_sac_agent
+from serl_tpu.training.launcher import (
+    make_drq_agent,
+    make_pixel_replay_buffer,
+    make_sac_agent,
+)
 
 OBS_DIM = 13  # tcp_pose(6) + tcp_vel(3) + gripper(1) + block_pos(3)
+PIXEL_STATE_DIM = 10  # pixel mode proprio (no block_pos: the cameras see it)
 ACT_DIM = 7
+IMAGE_KEYS = ("front", "wrist")
 
 
 def collect_handoff_states(env, num_states, seed):
@@ -118,13 +124,21 @@ def main():
     # make half of bw's demos/reset states start from fw-expert handoff
     # states (the chained-eval switch distribution)
     p.add_argument("--handoff_aug", action="store_true")
+    # DrQ from front+wrist cameras (the reference E6 workload class)
+    p.add_argument("--pixels", action="store_true")
+    p.add_argument("--image_size", type=int, default=128)
     p.add_argument("--total_steps", type=int, default=200_000)
     p.add_argument("--eval_period", type=int, default=8000)
     p.add_argument("--log", type=str, default=None)
     args = p.parse_args()
 
-    fw_env = BinRelocationEnv(task_id=0, dense_shaping=not args.sparse)
-    bw_env = BinRelocationEnv(task_id=1, dense_shaping=not args.sparse)
+    env_kwargs = dict(
+        dense_shaping=not args.sparse,
+        image_obs=args.pixels,
+        render_size=args.image_size,
+    )
+    fw_env = BinRelocationEnv(task_id=0, **env_kwargs)
+    bw_env = BinRelocationEnv(task_id=1, **env_kwargs)
 
     config = FwBwConfig(
         envs_per_task=args.envs_per_task,
@@ -132,7 +146,9 @@ def main():
         utd_ratio=args.utd_ratio,
         training_starts=args.training_starts,
         random_steps=args.random_steps,
-        buffer_capacity=(200_000 // args.envs_per_task) * args.envs_per_task,
+        buffer_capacity=(
+            (20_000 if args.pixels else 200_000) // args.envs_per_task
+        ) * args.envs_per_task,
         demo_fraction=0.5 if args.num_demos > 0 else 0.0,
         intervention_prob=args.intervention_prob,
         intervention_mode=args.intervention_mode,
@@ -147,13 +163,47 @@ def main():
         "masks": jnp.zeros(()),
         "dones": jnp.zeros(()),
     }
-    rb = ReplayBuffer(example, capacity=config.buffer_capacity)
-    fw_agent = make_sac_agent(args.seed, obs_dim=OBS_DIM, action_dim=ACT_DIM,
-                              discount=args.discount,
-                              bc_regularization=args.bc_weight)
-    bw_agent = make_sac_agent(args.seed + 1, obs_dim=OBS_DIM,
-                              action_dim=ACT_DIM, discount=args.discount,
-                              bc_regularization=args.bc_weight)
+    if args.pixels:
+        from serl_tpu.envs.wrappers import add_stack_axis, serl_obs
+
+        rb = make_pixel_replay_buffer(
+            capacity=config.buffer_capacity,
+            image_keys=IMAGE_KEYS,
+            image_size=args.image_size,
+            state_dim=PIXEL_STATE_DIM,
+            action_dim=ACT_DIM,
+        )
+        shapes = jax.eval_shape(
+            lambda k: jax.tree.map(
+                lambda x: x[None],
+                add_stack_axis(serl_obs(fw_env.reset(k)[1]), rb.image_keys),
+            ),
+            jax.random.PRNGKey(0),
+        )
+        sample = jax.tree.map(lambda sh: jnp.zeros(sh.shape, sh.dtype), shapes)
+
+        def _make_pixel_agent(seed):
+            agent = make_drq_agent(
+                seed, sample, jnp.zeros((1, ACT_DIM)),
+                image_keys=rb.image_keys, encoder_type="small",
+                discount=args.discount,
+            )
+            if args.bc_weight > 0:
+                agent = agent.replace(config=agent.config._replace(
+                    bc_regularization=args.bc_weight))
+            return agent
+
+        fw_agent = _make_pixel_agent(args.seed)
+        bw_agent = _make_pixel_agent(args.seed + 1)
+    else:
+        rb = ReplayBuffer(example, capacity=config.buffer_capacity)
+        fw_agent = make_sac_agent(args.seed, obs_dim=OBS_DIM,
+                                  action_dim=ACT_DIM,
+                                  discount=args.discount,
+                                  bc_regularization=args.bc_weight)
+        bw_agent = make_sac_agent(args.seed + 1, obs_dim=OBS_DIM,
+                                  action_dim=ACT_DIM, discount=args.discount,
+                                  bc_regularization=args.bc_weight)
 
     out = open(args.log, "a") if args.log else sys.stdout
 
@@ -168,6 +218,8 @@ def main():
         for task_id in (0, 1):
             # task task_id's handoff bank = states the OTHER task's expert
             # delivers into (bw starts where fw ended and vice versa)
+            # state-bank collection never renders (EnvState is shared
+            # across obs modes) — keep the fast state env here
             other = BinRelocationEnv(
                 task_id=1 - task_id, dense_shaping=not args.sparse
             )
@@ -180,9 +232,7 @@ def main():
                 f"(delivery rate {dfrac:.2f})",
                 file=out, flush=True,
             )
-            henv = BinRelocationEnv(
-                task_id=task_id, dense_shaping=not args.sparse
-            )
+            henv = BinRelocationEnv(task_id=task_id, **env_kwargs)
             henv.set_demo_reset_bank(bank, 0.5)
             handoff_envs[task_id] = henv
 
@@ -205,15 +255,26 @@ def main():
                 jax.random.PRNGKey(args.seed + 1000 + env.task_id),
                 num_episodes=args.num_demos,
                 episode_len=env.time_limit_steps,
+                pixel_obs=args.pixels,
                 auto_reset=True,
             )
             succ = float(jnp.mean(trans.pop("success")))
             episodes = float(jnp.sum(trans["dones"]))
-            ex = {k: jax.tree.map(lambda x: x[0], v)
-                  for k, v in trans.items() if k != "ep_ids"}
-            demo_rb = ReplayBuffer(
-                ex, capacity=args.num_demos * env.time_limit_steps
-            )
+            if args.pixels:
+                trans.pop("next_observations", None)  # mem-efficient buffer
+                demo_rb = make_pixel_replay_buffer(
+                    capacity=args.num_demos * env.time_limit_steps,
+                    image_keys=IMAGE_KEYS,
+                    image_size=args.image_size,
+                    state_dim=PIXEL_STATE_DIM,
+                    action_dim=ACT_DIM,
+                )
+            else:
+                ex = {k: jax.tree.map(lambda x: x[0], v)
+                      for k, v in trans.items() if k != "ep_ids"}
+                demo_rb = ReplayBuffer(
+                    ex, capacity=args.num_demos * env.time_limit_steps
+                )
             demos[name] = demo_lib.demos_to_buffer(
                 demo_rb, trans, episode_len=env.time_limit_steps
             )
@@ -257,8 +318,8 @@ def main():
             )
 
     # eval must see the true task distribution: clean envs, no reset bank
-    eval_fw_env = BinRelocationEnv(task_id=0, dense_shaping=not args.sparse)
-    eval_bw_env = BinRelocationEnv(task_id=1, dense_shaping=not args.sparse)
+    eval_fw_env = BinRelocationEnv(task_id=0, **env_kwargs)
+    eval_bw_env = BinRelocationEnv(task_id=1, **env_kwargs)
 
     init_fn, run_chunk = make_fwbw_loop(fw_env, bw_env, rb, config)
     carry = init_fn(
@@ -299,6 +360,7 @@ def main():
         ev = evaluate_chained(
             eval_fw_env, eval_bw_env, carry.fw.agent, carry.bw.agent,
             jax.random.PRNGKey(steps), num_episodes=32,
+            pixel_keys=rb.image_keys,
         )
         line += (
             f" eval_fw {ev['eval/fw_success']:.2f}"
@@ -334,6 +396,7 @@ def main():
                 t = evaluate_chained(
                     eval_fw_env, eval_bw_env, fa, ba,
                     jax.random.PRNGKey(777), num_episodes=64,
+                    pixel_keys=rb.image_keys,
                 )
                 print(
                     f"tournament fw#{i}(sel {fs:.2f}) x bw#{j}(sel {bs:.2f}):"
@@ -347,6 +410,7 @@ def main():
         final = evaluate_chained(
             eval_fw_env, eval_bw_env, best_pair[0], best_pair[1],
             jax.random.PRNGKey(999331), num_episodes=64,
+            pixel_keys=rb.image_keys,
         )
         print(
             f"TOURNAMENT-WINNER final (fresh 64 episodes): "

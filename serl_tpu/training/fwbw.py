@@ -29,6 +29,7 @@ from serl_tpu.agents.sac import SACAgent
 from serl_tpu.data.replay_buffer import ReplayBuffer, ReplayBufferState
 from serl_tpu.envs.panda_pick import flatten_obs
 from serl_tpu.envs.tasks import BinRelocationEnv
+from serl_tpu.envs.wrappers import add_stack_axis, serl_obs
 
 
 class FwBwConfig(NamedTuple):
@@ -89,6 +90,13 @@ def make_fwbw_loop(
             f"{config.intervention_mode!r}"
         )
     n = config.envs_per_task
+    pixel_keys = rb.image_keys
+
+    def to_buffer_obs(obs_dict):
+        return serl_obs(obs_dict) if pixel_keys else flatten_obs(obs_dict)
+
+    def to_agent_obs(obs):
+        return add_stack_axis(obs, pixel_keys) if pixel_keys else obs
 
     def _int_prob(env_steps):
         p = config.intervention_prob
@@ -111,7 +119,7 @@ def make_fwbw_loop(
         return TaskCarry(
             agent=agent,
             env_states=env_states,
-            obs=flatten_obs(obs),
+            obs=to_buffer_obs(obs),
             rb_state=rb.init_state(streams=n),
             demo_state=demo_state,
             ep_return=jnp.zeros((n,)),
@@ -140,7 +148,9 @@ def make_fwbw_loop(
         random_actions = jax.random.uniform(
             rand_key, (n, env.ACTION_DIM), minval=-1.0, maxval=1.0
         )
-        policy_actions = tc.agent.sample_actions(tc.obs, seed=act_key)
+        policy_actions = tc.agent.sample_actions(
+            to_agent_obs(tc.obs), seed=act_key
+        )
         actions = jnp.where(
             env_steps < config.random_steps, random_actions, policy_actions
         )
@@ -171,7 +181,7 @@ def make_fwbw_loop(
         env_states, next_obs_d, rewards, dones, info = jax.vmap(
             env.step_auto_reset
         )(tc.env_states, actions)
-        next_obs = flatten_obs(next_obs_d)
+        next_obs = to_buffer_obs(next_obs_d)
 
         transitions = {
             "observations": tc.obs,
@@ -179,8 +189,11 @@ def make_fwbw_loop(
             "rewards": rewards,
             "masks": 1.0 - dones,
             "dones": dones,
-            "next_observations": flatten_obs(info["final_obs"]),
         }
+        if rb.store_next_obs:
+            transitions["next_observations"] = to_buffer_obs(
+                info["final_obs"]
+            )
         ep_ids = env_states.ep_id * n + jnp.arange(n, dtype=jnp.int32)
         rb_state = rb.insert(tc.rb_state, transitions, ep_ids)
 
@@ -297,6 +310,7 @@ def evaluate_chained(
     rng,
     num_episodes: int = 16,
     max_steps: int = 100,
+    pixel_keys=(),
 ):
     """The reference's actual fwbw semantics: run fw to success, then hand
     the PHYSICAL state to the bw policy with no reset (the task-graph switch,
@@ -304,7 +318,12 @@ def evaluate_chained(
     success, and round-trip success."""
     keys = jax.random.split(rng, num_episodes)
 
-    cache_key = (id(fw_env), id(bw_env), num_episodes, max_steps)
+    if pixel_keys:
+        obs_fn = lambda o: add_stack_axis(serl_obs(o), tuple(pixel_keys))
+    else:
+        obs_fn = flatten_obs
+    cache_key = (id(fw_env), id(bw_env), num_episodes, max_steps,
+                 tuple(pixel_keys))
     entry = _CHAIN_EVAL_CACHE.get(cache_key)
     cached = None
     if entry is not None and entry[0] is fw_env and entry[1] is bw_env:
@@ -328,7 +347,7 @@ def evaluate_chained(
 
         def bw_solo_body(carry, _):
             states, obs, succ = carry
-            actions = bw_agent.sample_actions(flatten_obs(obs), argmax=True)
+            actions = bw_agent.sample_actions(obs_fn(obs), argmax=True)
             states, obs, r, d, info = jax.vmap(bw_env.step)(states, actions)
             succ = jnp.maximum(succ, info["success"])
             return (states, obs, succ), None
@@ -342,7 +361,7 @@ def evaluate_chained(
 
         def fw_body(carry, _):
             states, obs, succ = carry
-            actions = fw_agent.sample_actions(flatten_obs(obs), argmax=True)
+            actions = fw_agent.sample_actions(obs_fn(obs), argmax=True)
             new_states, new_obs, r, d, info = jax.vmap(fw_env.step)(
                 states, actions
             )
@@ -369,7 +388,7 @@ def evaluate_chained(
 
         def bw_body(carry, _):
             states, obs, succ = carry
-            actions = bw_agent.sample_actions(flatten_obs(obs), argmax=True)
+            actions = bw_agent.sample_actions(obs_fn(obs), argmax=True)
             states, obs, r, d, info = jax.vmap(bw_env.step)(states, actions)
             succ = jnp.maximum(succ, info["success"])
             return (states, obs, succ), None
