@@ -108,13 +108,14 @@ def bench_state():
     )
 
 
-def bench_pixels():
+def bench_pixels(encoder_type: str = "small"):
     from serl_tpu.training.launcher import make_drq_sim_experiment
 
     return _bench_fused(
         make_drq_sim_experiment,
         iters=25,
         seed=0,
+        encoder_type=encoder_type,
         num_envs=16,
         batch_size=256,
         utd_ratio=4,
@@ -126,8 +127,15 @@ def bench_pixels():
 
 
 def main():
+    import os
+
     state_steps, state_updates = bench_state()
     pixel_steps, pixel_updates = bench_pixels()
+    # the reference's DEFAULT DrQ encoder (frozen pretrained ResNet-10,
+    # grafted from the committed sim-pretrained pkl)
+    resnet_steps = resnet_updates = None
+    if os.path.exists("resnet10_params.pkl"):
+        resnet_steps, resnet_updates = bench_pixels("resnet-pretrained")
     ref = bench_reference_proxy()
     # Reference PIXEL actor proxy: mj_step x10 + TWO 128px offscreen renders
     # per control step (panda_pick_gym_env.py:205-231). No GL backend exists
@@ -147,6 +155,14 @@ def main():
                 "drq_updates_per_s": round(pixel_updates, 1),
                 # vs the render-free reference proxy: conservative lower bound
                 "drq_vs_baseline": round(pixel_steps / ref, 3),
+                **(
+                    {
+                        "drq_resnet_env_steps_per_s": round(resnet_steps, 1),
+                        "drq_resnet_updates_per_s": round(resnet_updates, 1),
+                    }
+                    if resnet_steps is not None
+                    else {}
+                ),
             }
         )
     )
