@@ -8,8 +8,14 @@ agent+buffer pairs and the env batch run in ONE jit program
 preserved in evaluation (`evaluate_chained`: fw rollout -> physical state
 handed to bw with no reset -> round-trip success).
 
-Example:
-    python examples/fused_fwbw_bin_relocation.py --total_steps 200000
+Proven recipe (results/RESULTS.md; fresh-seed round-trip 0.42 from pixels,
+0.44 from state):
+    python examples/fused_fwbw_bin_relocation.py --sparse \
+        --demo_reset_prob 0.5 --bc_weight 0.3 --num_demos 100 \
+        --handoff_aug --discount 0.98 --intervention_decay_steps 300000 \
+        --intervention_min_prob 0.05 --total_steps 2500000
+    # DrQ from front+wrist cameras (the reference's E6 class): add
+    # --pixels --num_demos 20 --total_steps 600000 --intervention_decay_steps 150000
 """
 
 import argparse
