@@ -1,21 +1,34 @@
-"""Forward/backward bin relocation with dual policies — fully fused.
+"""Forward/backward bin relocation — CHAINED reset-free dual-policy training.
 
-Workload parity: reference `examples/async_bin_relocation_fwbw_drq` (E6):
-two policies (fw, bw), each with its own replay buffer and learner, trained
-while the robot alternates moving the cube between bins. Here both
-agent+buffer pairs and the env batch run in ONE jit program
-(serl_tpu/training/fwbw.py); the reference's sequential task handoff is
-preserved in evaluation (`evaluate_chained`: fw rollout -> physical state
-handed to bw with no reset -> round-trip success).
+Workload parity: reference `examples/async_bin_relocation_fwbw_drq` (E6).
+The reference's defining structure is ONE robot whose active task flips at
+classifier success mid-stream (`franka_env/envs/wrappers.py:36-44`
+task_graph; `async_drq_randomized.py:265-272`), with each transition
+streaming to the owning policy's learner. This example reproduces that
+design natively: a batch of `ChainedBinEnv` reset-free envs runs under one
+jit program, the per-env `task` flag flips at success, transitions are
+routed into per-task `RoutedReplayBuffer`s by task mask, and both policies
+train every iteration on the chained state distribution
+(serl_tpu/training/fwbw.py::make_chained_loop).
 
-Proven recipe (results/RESULTS.md; fresh-seed round-trip 0.42 from pixels,
-0.44 from state):
-    python examples/fused_fwbw_bin_relocation.py --sparse \
-        --demo_reset_prob 0.5 --bc_weight 0.3 --num_demos 100 \
-        --handoff_aug --discount 0.98 --intervention_decay_steps 300000 \
-        --intervention_min_prob 0.05 --total_steps 2500000
+Optionally (`--classifier_reward`, the reference's E6 default) reward,
+termination AND the task switch are driven by learned per-task success
+classifiers on the front camera (trained in-script like
+`train_reward_classifier.py:41-172`), with ground truth used only for
+evaluation.
+
+Evaluation is the chained task graph as well (`evaluate_chained`): fw runs
+to success, the physical state is handed to bw with no reset, round-trip
+success is the headline. SOLVED requires TWO consecutive evals >= 0.8
+(solve-criteria hardening, VERDICT r4 weak #5).
+
+Proven recipe (results/RESULTS.md):
+    python examples/fused_fwbw_bin_relocation.py \
+        --bc_weight 0.3 --discount 0.98 \
+        --intervention_decay_steps 300000 --intervention_min_prob 0.05 \
+        --total_steps 2500000
     # DrQ from front+wrist cameras (the reference's E6 class): add
-    # --pixels --num_demos 20 --total_steps 600000 --intervention_decay_steps 150000
+    # --pixels --total_steps 600000 --intervention_decay_steps 150000
 """
 
 import argparse
@@ -27,77 +40,165 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from serl_tpu.data import demos as demo_lib
-from serl_tpu.data.replay_buffer import ReplayBuffer
-from serl_tpu.envs.scripted_expert import relocation_expert_action
+from serl_tpu.data.routed_buffer import RoutedReplayBuffer
+from serl_tpu.envs.chained_bin import ChainedBinEnv
 from serl_tpu.envs.tasks import BinRelocationEnv
 from serl_tpu.training.fwbw import (
     FwBwConfig,
+    collect_chained_demos,
     evaluate_chained,
-    make_fwbw_loop,
+    make_chained_loop,
 )
-from serl_tpu.training.launcher import (
-    make_drq_agent,
-    make_pixel_replay_buffer,
-    make_sac_agent,
-)
+from serl_tpu.training.launcher import make_drq_agent, make_sac_agent
 
 OBS_DIM = 13  # tcp_pose(6) + tcp_vel(3) + gripper(1) + block_pos(3)
-PIXEL_STATE_DIM = 10  # pixel mode proprio (no block_pos: the cameras see it)
+PIXEL_STATE_DIM = 10  # pixel-mode proprio (no block_pos: the cameras see it)
 ACT_DIM = 7
 IMAGE_KEYS = ("front", "wrist")
+CLS_KEY = "front"  # classifier camera (reference FWBWFrontCamera... wrapper)
 
 
-def collect_handoff_states(env, num_states, seed):
-    """States where the task's expert just delivered the cube — the exact
-    distribution the NEXT policy faces at the task-graph switch (arm low
-    over the delivery bin, gripper just opened, cube settling wherever it
-    was dropped, incl. near walls). Chained-eval's bw|fw stays far below
-    bw-solo unless bw TRAINS on this distribution."""
+def make_example_transition(pixels: bool, image_size: int):
+    if not pixels:
+        return {
+            "observations": jnp.zeros((OBS_DIM,)),
+            "actions": jnp.zeros((ACT_DIM,)),
+            "next_observations": jnp.zeros((OBS_DIM,)),
+            "rewards": jnp.zeros(()),
+            "masks": jnp.zeros(()),
+            "dones": jnp.zeros(()),
+        }
+    img = jnp.zeros((image_size, image_size, 3), jnp.uint8)
+    return {
+        "observations": {
+            "state": jnp.zeros((PIXEL_STATE_DIM,)),
+            "front": img,
+            "wrist": img,
+        },
+        "actions": jnp.zeros((ACT_DIM,)),
+        "rewards": jnp.zeros(()),
+        "masks": jnp.zeros(()),
+        "dones": jnp.zeros(()),
+    }
+
+
+def train_fwbw_classifiers(args, out):
+    """Per-task success classifiers on the front camera (reference
+    `async_bin_relocation_fwbw_drq/train_reward_classifier.py:41-172`):
+    frames from chained-expert + random rollouts, labeled by ground truth
+    (cube inside the fw / bw bin), BCE-trained with random-crop
+    augmentation. Returns (fw_fn, bw_fn): (H, W, C) front image -> logit."""
+    from serl_tpu.envs.physics import engine as _engine
+    from serl_tpu.envs.rendering import render_cameras
     from serl_tpu.envs.scripted_expert import relocation_expert_action
-
-    n = max(num_states // 2, 8)
-    tgt = env.FW_BIN if env.task_id == 0 else env.BW_BIN
-    expert = lambda s: relocation_expert_action(
-        s, tgt, jnp.asarray(env.config.action_scale)
+    from serl_tpu.networks.classifier import (
+        classifier_train_step,
+        create_classifier,
     )
+    from serl_tpu.vision.augmentations import batched_random_crop
+
+    env = ChainedBinEnv(
+        dense_shaping=False, image_obs=False, fresh_reset_prob=0.1
+    )
+    gt_fw_env = BinRelocationEnv(task_id=0, dense_shaping=False)
+    gt_bw_env = BinRelocationEnv(task_id=1, dense_shaping=False)
+    m = 16
 
     @jax.jit
-    def rollout(keys):
+    def rollout(keys, noise_key, noise_scale):
         states, _ = jax.vmap(env.reset)(keys)
 
-        def body(carry, _):
-            states, succ = carry
-            a = jax.vmap(expert)(states)
-            new_states, _, r, d, info = jax.vmap(env.step)(states, a)
-            frozen = succ > 0.5
-            sel = lambda x, y: jnp.where(
-                frozen.reshape((-1,) + (1,) * (x.ndim - 1)), x, y
+        def body(carry, i):
+            states = carry
+            task = states.task
+            tgt = jnp.where(
+                (task == 0)[:, None],
+                env.fw.FW_BIN[None, :],
+                env.fw.BW_BIN[None, :],
             )
-            states = jax.tree.map(sel, states, new_states)
-            succ = jnp.maximum(succ, info["success"])
-            return (states, succ), None
+            scale = jnp.asarray(env.fw.config.action_scale)
+            a = jax.vmap(
+                lambda s, t: relocation_expert_action(s, t, scale)
+            )(states.env, tgt)
+            k = jax.random.fold_in(noise_key, i)
+            a = jnp.clip(
+                a + noise_scale * jax.random.normal(k, a.shape), -1, 1
+            )
+            new_states, _, _, _, _ = jax.vmap(env.step_auto_reset)(states, a)
+            front = jax.vmap(
+                lambda p: render_cameras(p, args.image_size)[0]
+            )(new_states.env.physics)
+            lab_fw = jax.vmap(gt_fw_env._success)(new_states.env)
+            lab_bw = jax.vmap(gt_bw_env._success)(new_states.env)
+            return new_states, (front, lab_fw, lab_bw)
 
-        (states, succ), _ = jax.lax.scan(
-            body, (states, jnp.zeros(n)), None, length=100
+        _, (fronts, lab_fw, lab_bw) = jax.lax.scan(
+            body, states, jnp.arange(150)
         )
-        return states._replace(t=jnp.zeros_like(states.t)), succ
+        return fronts, lab_fw, lab_bw
 
-    banks, keep = [], []
-    for i in range(2):
-        keys = jax.random.split(jax.random.PRNGKey(seed + i), n)
-        states, succ = rollout(keys)
-        banks.append(states)
-        keep.append(succ > 0.5)
-    import numpy as np
+    frames, lfw, lbw = [], [], []
+    for i, noise in enumerate((0.05, 0.3, 0.8)):
+        f, a, b = rollout(
+            jax.random.split(jax.random.PRNGKey(args.seed + 7000 + i), m),
+            jax.random.PRNGKey(args.seed + 7100 + i),
+            noise,
+        )
+        frames.append(np.asarray(f).reshape((-1,) + f.shape[2:]))
+        lfw.append(np.asarray(a).reshape(-1))
+        lbw.append(np.asarray(b).reshape(-1))
+    frames = np.concatenate(frames)
+    lfw = np.concatenate(lfw)
+    lbw = np.concatenate(lbw)
+    print(
+        f"classifier data: {frames.shape[0]} frames "
+        f"(fw pos {lfw.mean():.2f}, bw pos {lbw.mean():.2f})",
+        file=out, flush=True,
+    )
 
-    bank = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), *banks)
-    mask = np.asarray(jnp.concatenate(keep))
-    # keep only successful deliveries; wrap to num_states (bank sampling is
-    # uniform so duplicates are harmless)
-    idx = jnp.asarray(np.resize(np.nonzero(mask)[0], num_states))
-    return jax.tree.map(lambda x: x[idx], bank), float(mask.mean())
+    fns = []
+    for name, labels in (("fw", lfw), ("bw", lbw)):
+        pos = jnp.asarray(frames[labels > 0.5])[:, None]
+        neg = jnp.asarray(frames[labels <= 0.5])[:, None]
+        state = create_classifier(
+            jax.random.PRNGKey(args.seed + (0 if name == "fw" else 1)),
+            {CLS_KEY: pos[:1]},
+            (CLS_KEY,),
+            encoder_type="small",
+        )
+        rng = jax.random.PRNGKey(args.seed + 17)
+        n_half = 64
+        for epoch in range(args.classifier_epochs):
+            rng, k1, k2, k3, k4 = jax.random.split(rng, 5)
+            pi = jax.random.randint(k1, (n_half,), 0, pos.shape[0])
+            ni = jax.random.randint(k2, (n_half,), 0, neg.shape[0])
+            px = jnp.concatenate([pos[pi], neg[ni]])
+            px = batched_random_crop(px, k3, padding=4, num_batch_dims=2)
+            batch = {
+                "observations": {CLS_KEY: px},
+                "labels": jnp.concatenate(
+                    [jnp.ones(n_half), jnp.zeros(n_half)]
+                ),
+            }
+            state, info = classifier_train_step(state, batch, k4)
+        print(
+            f"{name} classifier: final loss {float(info['loss']):.4f} "
+            f"acc {float(info['accuracy']):.3f} "
+            f"({pos.shape[0]} pos / {neg.shape[0]} neg)",
+            file=out, flush=True,
+        )
+        apply = state.apply_fn
+        params = state.params
+
+        def fn(img, _apply=apply, _params=params):
+            return _apply(
+                {"params": _params}, {CLS_KEY: img[None, None]}, train=False
+            )[0]
+
+        fns.append(fn)
+    return tuple(fns)
 
 
 def main():
@@ -108,43 +209,46 @@ def main():
     p.add_argument("--utd_ratio", type=int, default=4)
     p.add_argument("--training_starts", type=int, default=2000)
     p.add_argument("--random_steps", type=int, default=2000)
-    # annealed-intervention recipe proven on peg insert (RESULTS.md)
     p.add_argument("--intervention_prob", type=float, default=0.5)
     p.add_argument("--intervention_mode", default="episode",
                    choices=["step", "episode", "rescue"])
-    p.add_argument("--intervention_decay_steps", type=int, default=100_000)
-    p.add_argument("--intervention_min_prob", type=float, default=0.0)
-    p.add_argument("--discount", type=float, default=0.97)
-    p.add_argument("--num_demos", type=int, default=20)
-    p.add_argument("--sparse", action="store_true",
-                   help="sparse success reward + early termination "
-                        "(reference classifier-reward semantics) instead of "
-                        "reach/lift/carry shaping")
-    # reverse curriculum: fraction of episodes that start from a random
-    # expert-visited state (mid-grasp / mid-carry / over-bin), making sparse
-    # reward reachable from late-phase states first
-    p.add_argument("--demo_reset_prob", type=float, default=0.0)
-    # Q-filtered BC auxiliary on the actor (SACfD shape) — demo-heavy sparse
-    # recipes benefit; self-anneals once the policy's Q beats the demos'
-    p.add_argument("--bc_weight", type=float, default=0.0)
-    # make half of bw's demos/reset states start from fw-expert handoff
-    # states (the chained-eval switch distribution)
-    p.add_argument("--handoff_aug", action="store_true")
-    # DrQ from front+wrist cameras (the reference E6 workload class)
+    p.add_argument("--intervention_decay_steps", type=int, default=300_000)
+    p.add_argument("--intervention_min_prob", type=float, default=0.05)
+    p.add_argument("--discount", type=float, default=0.98)
+    p.add_argument("--bc_weight", type=float, default=0.3)
+    p.add_argument("--demo_streams", type=int, default=16)
+    p.add_argument("--demo_steps", type=int, default=500,
+                   help="chained-expert steps per demo stream (0 = no demos)")
+    p.add_argument("--dense", action="store_true",
+                   help="reach/lift/carry shaping instead of the sparse "
+                        "classifier-style reward (reference semantics)")
+    p.add_argument("--fresh_reset_prob", type=float, default=0.05)
+    p.add_argument("--classifier_reward", action="store_true",
+                   help="train fw/bw success classifiers and drive reward/"
+                        "termination/task-switch from them (reference E6)")
+    p.add_argument("--classifier_epochs", type=int, default=300)
     p.add_argument("--pixels", action="store_true")
     p.add_argument("--image_size", type=int, default=128)
-    p.add_argument("--total_steps", type=int, default=200_000)
-    p.add_argument("--eval_period", type=int, default=8000)
+    p.add_argument("--total_steps", type=int, default=2_500_000)
+    p.add_argument("--eval_period", type=int, default=16000)
+    p.add_argument("--solve_threshold", type=float, default=0.8)
     p.add_argument("--log", type=str, default=None)
     args = p.parse_args()
 
-    env_kwargs = dict(
-        dense_shaping=not args.sparse,
+    out = open(args.log, "a") if args.log else sys.stdout
+
+    classifier_fns = None
+    if args.classifier_reward:
+        classifier_fns = train_fwbw_classifiers(args, out)
+
+    env = ChainedBinEnv(
+        dense_shaping=args.dense,
         image_obs=args.pixels,
         render_size=args.image_size,
+        fresh_reset_prob=args.fresh_reset_prob,
+        classifier_fns=classifier_fns,
     )
-    fw_env = BinRelocationEnv(task_id=0, **env_kwargs)
-    bw_env = BinRelocationEnv(task_id=1, **env_kwargs)
+    n = args.envs_per_task * 2
 
     config = FwBwConfig(
         envs_per_task=args.envs_per_task,
@@ -152,46 +256,40 @@ def main():
         utd_ratio=args.utd_ratio,
         training_starts=args.training_starts,
         random_steps=args.random_steps,
-        buffer_capacity=(
-            (20_000 if args.pixels else 200_000) // args.envs_per_task
-        ) * args.envs_per_task,
-        demo_fraction=0.5 if args.num_demos > 0 else 0.0,
+        buffer_capacity=((20_000 if args.pixels else 200_000) // n) * n,
+        demo_fraction=0.5 if args.demo_steps > 0 else 0.0,
         intervention_prob=args.intervention_prob,
         intervention_mode=args.intervention_mode,
         intervention_decay_steps=args.intervention_decay_steps,
         intervention_min_prob=args.intervention_min_prob,
     )
-    example = {
-        "observations": jnp.zeros((OBS_DIM,)),
-        "actions": jnp.zeros((ACT_DIM,)),
-        "next_observations": jnp.zeros((OBS_DIM,)),
-        "rewards": jnp.zeros(()),
-        "masks": jnp.zeros(()),
-        "dones": jnp.zeros(()),
-    }
+
+    example = make_example_transition(args.pixels, args.image_size)
+    rb_kwargs = dict(
+        store_next_obs=not args.pixels,
+        image_keys=IMAGE_KEYS if args.pixels else (),
+        num_stack=1,
+    )
+    rb = RoutedReplayBuffer(example, capacity=config.buffer_capacity,
+                            **rb_kwargs)
+
+    # agents
     if args.pixels:
         from serl_tpu.envs.wrappers import add_stack_axis, serl_obs
 
-        rb = make_pixel_replay_buffer(
-            capacity=config.buffer_capacity,
-            image_keys=IMAGE_KEYS,
-            image_size=args.image_size,
-            state_dim=PIXEL_STATE_DIM,
-            action_dim=ACT_DIM,
-        )
         shapes = jax.eval_shape(
             lambda k: jax.tree.map(
                 lambda x: x[None],
-                add_stack_axis(serl_obs(fw_env.reset(k)[1]), rb.image_keys),
+                add_stack_axis(serl_obs(env.reset(k)[1]), IMAGE_KEYS),
             ),
             jax.random.PRNGKey(0),
         )
         sample = jax.tree.map(lambda sh: jnp.zeros(sh.shape, sh.dtype), shapes)
 
-        def _make_pixel_agent(seed):
+        def _make_agent(seed):
             agent = make_drq_agent(
                 seed, sample, jnp.zeros((1, ACT_DIM)),
-                image_keys=rb.image_keys, encoder_type="small",
+                image_keys=IMAGE_KEYS, encoder_type="small",
                 discount=args.discount,
             )
             if args.bc_weight > 0:
@@ -199,174 +297,73 @@ def main():
                     bc_regularization=args.bc_weight))
             return agent
 
-        fw_agent = _make_pixel_agent(args.seed)
-        bw_agent = _make_pixel_agent(args.seed + 1)
+        fw_agent = _make_agent(args.seed)
+        bw_agent = _make_agent(args.seed + 1)
     else:
-        rb = ReplayBuffer(example, capacity=config.buffer_capacity)
         fw_agent = make_sac_agent(args.seed, obs_dim=OBS_DIM,
-                                  action_dim=ACT_DIM,
-                                  discount=args.discount,
+                                  action_dim=ACT_DIM, discount=args.discount,
                                   bc_regularization=args.bc_weight)
         bw_agent = make_sac_agent(args.seed + 1, obs_dim=OBS_DIM,
                                   action_dim=ACT_DIM, discount=args.discount,
                                   bc_regularization=args.bc_weight)
 
-    out = open(args.log, "a") if args.log else sys.stdout
+    # chained-expert demos, routed by task (handoff states included natively)
+    fw_demo = bw_demo = demo_rb = None
+    if args.demo_steps > 0:
+        demo_rb = RoutedReplayBuffer(
+            example,
+            capacity=args.demo_streams * args.demo_steps,
+            **rb_kwargs,
+        )
+        fw_demo, bw_demo, stats = collect_chained_demos(
+            env, demo_rb, args.demo_streams, args.demo_steps,
+            jax.random.PRNGKey(args.seed + 1000), pixel_obs=args.pixels,
+        )
+        print(f"chained demos: {stats}", file=out, flush=True)
 
-    # handoff-state bank: the chained eval hands bw the state where fw just
-    # delivered — a distribution bw's clean resets never cover (lower arm,
-    # freshly-opened gripper, settling cube, possibly near a wall, rotated
-    # yaw). Collecting fw-expert deliveries and making HALF of bw's demos
-    # and reset states start there closes the bw|fw << bw-solo gap.
-    handoff_banks = {}
-    handoff_envs = {}
-    if args.handoff_aug:
-        for task_id in (0, 1):
-            # task task_id's handoff bank = states the OTHER task's expert
-            # delivers into (bw starts where fw ended and vice versa)
-            # state-bank collection never renders (EnvState is shared
-            # across obs modes) — keep the fast state env here
-            other = BinRelocationEnv(
-                task_id=1 - task_id, dense_shaping=not args.sparse
-            )
-            bank, dfrac = collect_handoff_states(
-                other, num_states=256, seed=args.seed + 9000 + task_id,
-            )
-            handoff_banks[task_id] = bank
-            print(
-                f"task {task_id} handoff bank: 256 states "
-                f"(delivery rate {dfrac:.2f})",
-                file=out, flush=True,
-            )
-            henv = BinRelocationEnv(task_id=task_id, **env_kwargs)
-            henv.set_demo_reset_bank(bank, 0.5)
-            handoff_envs[task_id] = henv
-
-    # per-task RLPD demos: auto-reset scripted relocation episodes (every
-    # row an approach/carry step — see the peg recipe, RESULTS.md)
-    fw_demo = bw_demo = None
-    if args.num_demos > 0:
-        demos = {}
-        for name, env in (("fw", fw_env), ("bw", bw_env)):
-            tgt = env.FW_BIN if env.task_id == 0 else env.BW_BIN
-            expert = lambda s, _tgt=tgt, _env=env: relocation_expert_action(
-                s, _tgt, jnp.asarray(_env.config.action_scale)
-            )
-            demo_env = env
-            if handoff_envs:
-                demo_env = handoff_envs[env.task_id]  # half-handoff resets
-            trans = demo_lib.collect_episodes(
-                demo_env,
-                lambda states, rng, _e=expert: jax.vmap(_e)(states),
-                jax.random.PRNGKey(args.seed + 1000 + env.task_id),
-                num_episodes=args.num_demos,
-                episode_len=env.time_limit_steps,
-                pixel_obs=args.pixels,
-                auto_reset=True,
-            )
-            succ = float(jnp.mean(trans.pop("success")))
-            episodes = float(jnp.sum(trans["dones"]))
-            if args.pixels:
-                trans.pop("next_observations", None)  # mem-efficient buffer
-                demo_rb = make_pixel_replay_buffer(
-                    capacity=args.num_demos * env.time_limit_steps,
-                    image_keys=IMAGE_KEYS,
-                    image_size=args.image_size,
-                    state_dim=PIXEL_STATE_DIM,
-                    action_dim=ACT_DIM,
-                )
-            else:
-                ex = {k: jax.tree.map(lambda x: x[0], v)
-                      for k, v in trans.items() if k != "ep_ids"}
-                demo_rb = ReplayBuffer(
-                    ex, capacity=args.num_demos * env.time_limit_steps
-                )
-            demos[name] = demo_lib.demos_to_buffer(
-                demo_rb, trans, episode_len=env.time_limit_steps
-            )
-            print(
-                f"{name} demos: {args.num_demos * env.time_limit_steps} rows, "
-                f"{episodes:.0f} episodes, success-step frac {succ:.2f}",
-                file=out, flush=True,
-            )
-        fw_demo, bw_demo = demos["fw"], demos["bw"]
-
-    # reverse-curriculum reset banks from expert-visited states
-    if args.demo_reset_prob > 0.0:
-        for env in (fw_env, bw_env):
-            tgt = env.FW_BIN if env.task_id == 0 else env.BW_BIN
-            expert = lambda s, _tgt=tgt, _env=env: relocation_expert_action(
-                s, _tgt, jnp.asarray(_env.config.action_scale)
-            )
-            bank_env = env
-            if handoff_envs:
-                bank_env = handoff_envs[env.task_id]
-            bank = demo_lib.collect_state_bank(
-                bank_env,
-                lambda states, rng, _e=expert: jax.vmap(_e)(states),
-                jax.random.PRNGKey(args.seed + 5000 + env.task_id),
-                num_streams=8,
-                steps=env.time_limit_steps,
-            )
-            if handoff_banks:
-                # training resets draw from expert states AND raw handoff
-                # states
-                bank = jax.tree.map(
-                    lambda a, b: jnp.concatenate([a, b]),
-                    bank, handoff_banks[env.task_id],
-                )
-            env.set_demo_reset_bank(bank, args.demo_reset_prob)
-            print(
-                f"task {env.task_id}: demo-reset bank of "
-                f"{jax.tree.leaves(bank)[0].shape[0]} states "
-                f"(p={args.demo_reset_prob})",
-                file=out, flush=True,
-            )
-
-    # eval must see the true task distribution: clean envs, no reset bank
+    # eval on the true task distribution: clean per-task envs, ground truth
+    env_kwargs = dict(
+        dense_shaping=args.dense, image_obs=args.pixels,
+        render_size=args.image_size,
+    )
     eval_fw_env = BinRelocationEnv(task_id=0, **env_kwargs)
     eval_bw_env = BinRelocationEnv(task_id=1, **env_kwargs)
 
-    init_fn, run_chunk = make_fwbw_loop(fw_env, bw_env, rb, config)
+    init_fn, run_chunk = make_chained_loop(env, rb, config)
     carry = init_fn(
         fw_agent, bw_agent, jax.random.PRNGKey(args.seed),
-        fw_demo=fw_demo, bw_demo=bw_demo,
+        fw_demo=fw_demo, bw_demo=bw_demo, demo_rb=demo_rb,
     )
-    chunk = max(args.eval_period // (2 * config.envs_per_task), 1)
+    chunk = max(args.eval_period // n, 1)
     t0 = time.time()
-    prev = {"fw": (0, 0.0, 0.0), "bw": (0, 0.0, 0.0)}
-    # checkpoint selection: SAC on sparse long-horizon tasks oscillates
-    # between evals; keep the TOP-K fw/bw snapshots (the reference's human
-    # effectively does this by watching the run and stopping at a good
-    # policy). bw snapshots are ranked by bw|fw (the handoff metric — a
-    # bw that excels from clean resets can still fail the chained switch);
-    # the final pair is picked by a round-trip TOURNAMENT and the winner is
-    # re-evaluated on FRESH seeds to avoid selection bias.
-    TOP_K = 3
-    top = {"fw": [], "bw": []}  # lists of (score, agent-snapshot)
-
-    def _push(lst, score, agent):
-        lst.append((score, agent))
-        lst.sort(key=lambda t: -t[0])
-        del lst[TOP_K:]
+    prev = {
+        "ep": np.zeros(2), "ret": np.zeros(2), "succ": np.zeros(2),
+        "gt": np.zeros(2),
+    }
+    snap = lambda a: jax.tree.map(lambda x: jnp.array(x, copy=True), a)
+    best = {"rt": -1.0, "pair": None, "step": 0}
+    consecutive = 0
+    pixel_keys = IMAGE_KEYS if args.pixels else ()
     while int(carry.env_steps) < args.total_steps:
         carry, m = run_chunk(carry, chunk)
         steps = int(carry.env_steps)
+        ep = np.asarray(m["ep_count"][-1], float)
+        ret = np.asarray(m["ret_sum"][-1], float)
+        succ = np.asarray(m["succ_sum"][-1], float)
+        gt = np.asarray(m["succ_gt_sum"][-1], float)
+        d_ep = np.maximum(ep - prev["ep"], 1)
         line = f"steps {steps} ({steps/(time.time()-t0):.0f}/s)"
-        for task in ("fw", "bw"):
-            ep = int(m[f"{task}/ep_count"][-1])
-            ret = float(m[f"{task}/ret_sum"][-1])
-            suc = float(m[f"{task}/succ_sum"][-1])
-            p_ep, p_ret, p_suc = prev[task]
-            d_ep = max(ep - p_ep, 1)
+        for t, name in ((0, "fw"), (1, "bw")):
             line += (
-                f" {task}[succ {(suc-p_suc)/d_ep:.2f} ret {(ret-p_ret)/d_ep:.1f}]"
+                f" {name}[succ {(gt[t]-prev['gt'][t])/d_ep[t]:.2f}"
+                f" ret {(ret[t]-prev['ret'][t])/d_ep[t]:.1f}]"
             )
-            prev[task] = (ep, ret, suc)
+        line += f" switches {int(m['switch_sum'][-1])}"
+        prev = {"ep": ep, "ret": ret, "succ": succ, "gt": gt}
         ev = evaluate_chained(
-            eval_fw_env, eval_bw_env, carry.fw.agent, carry.bw.agent,
+            eval_fw_env, eval_bw_env, carry.fw_agent, carry.bw_agent,
             jax.random.PRNGKey(steps), num_episodes=32,
-            pixel_keys=rb.image_keys,
+            pixel_keys=pixel_keys,
         )
         line += (
             f" eval_fw {ev['eval/fw_success']:.2f}"
@@ -374,56 +371,47 @@ def main():
             f" eval_bw|fw {ev['eval/bw_success_given_fw']:.2f}"
             f" round_trip {ev['eval/round_trip_success']:.2f}"
         )
-        # run_chunk donates the carry: keep COPIES or the saved agent's
-        # arrays are deleted by the next chunk
-        snap = lambda a: jax.tree.map(lambda x: jnp.array(x, copy=True), a)
-        _push(top["fw"], ev["eval/fw_success"], snap(carry.fw.agent))
-        _push(
-            top["bw"],
-            # rank bw by the handoff metric, tie-broken by solo success
-            ev["eval/bw_success_given_fw"] + 0.01 * ev["eval/bw_success"],
-            snap(carry.bw.agent),
-        )
         print(line, file=out, flush=True)
-        if ev["eval/round_trip_success"] >= 0.8:
+        rt = ev["eval/round_trip_success"]
+        if rt > best["rt"]:
+            best = {
+                "rt": rt,
+                "pair": (snap(carry.fw_agent), snap(carry.bw_agent)),
+                "step": steps,
+            }
+        # hardened solve criterion: K=2 CONSECUTIVE evals >= threshold
+        consecutive = consecutive + 1 if rt >= args.solve_threshold else 0
+        if consecutive >= 2:
             print(
-                f"SOLVED (round-trip >= 0.8) at {steps} env steps "
+                f"SOLVED (round-trip >= {args.solve_threshold} on 2 "
+                f"consecutive evals) at {steps} env steps "
                 f"({time.time()-t0:.0f}s)",
-                file=out,
-                flush=True,
+                file=out, flush=True,
             )
             break
 
-    if top["fw"] and top["bw"]:
-        # tournament: pick the pair with the best chained round-trip ...
-        best_pair, best_rt = None, -1.0
-        for i, (fs, fa) in enumerate(top["fw"]):
-            for j, (bs, ba) in enumerate(top["bw"]):
-                t = evaluate_chained(
-                    eval_fw_env, eval_bw_env, fa, ba,
-                    jax.random.PRNGKey(777), num_episodes=64,
-                    pixel_keys=rb.image_keys,
-                )
-                print(
-                    f"tournament fw#{i}(sel {fs:.2f}) x bw#{j}(sel {bs:.2f}):"
-                    f" round_trip {t['eval/round_trip_success']:.2f}",
-                    file=out, flush=True,
-                )
-                if t["eval/round_trip_success"] > best_rt:
-                    best_rt = t["eval/round_trip_success"]
-                    best_pair = (fa, ba)
-        # ... then re-evaluate the winner on FRESH seeds (honest estimate)
-        final = evaluate_chained(
-            eval_fw_env, eval_bw_env, best_pair[0], best_pair[1],
-            jax.random.PRNGKey(999331), num_episodes=64,
-            pixel_keys=rb.image_keys,
+    # honest final numbers: fresh seeds, 64 episodes, final AND best pair
+    final = evaluate_chained(
+        eval_fw_env, eval_bw_env, carry.fw_agent, carry.bw_agent,
+        jax.random.PRNGKey(999331), num_episodes=64, pixel_keys=pixel_keys,
+    )
+    print(
+        f"FINAL (fresh 64 episodes): "
+        f"eval_fw {final['eval/fw_success']:.2f} "
+        f"eval_bw {final['eval/bw_success']:.2f} "
+        f"eval_bw|fw {final['eval/bw_success_given_fw']:.2f} "
+        f"round_trip {final['eval/round_trip_success']:.2f}",
+        file=out, flush=True,
+    )
+    if best["pair"] is not None:
+        b = evaluate_chained(
+            eval_fw_env, eval_bw_env, best["pair"][0], best["pair"][1],
+            jax.random.PRNGKey(999333), num_episodes=64,
+            pixel_keys=pixel_keys,
         )
         print(
-            f"TOURNAMENT-WINNER final (fresh 64 episodes): "
-            f"eval_fw {final['eval/fw_success']:.2f} "
-            f"eval_bw {final['eval/bw_success']:.2f} "
-            f"eval_bw|fw {final['eval/bw_success_given_fw']:.2f} "
-            f"round_trip {final['eval/round_trip_success']:.2f}",
+            f"BEST-SNAPSHOT (step {best['step']}, fresh 64 episodes): "
+            f"round_trip {b['eval/round_trip_success']:.2f}",
             file=out, flush=True,
         )
 

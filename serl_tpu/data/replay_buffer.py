@@ -312,7 +312,14 @@ class ReplayBuffer:
             n_valid = jnp.maximum(state.size - 1, 1)
         u = jax.random.randint(rng, (R, streams), 0, n_valid)
         s2 = (state.insert_slot - state.size + u) % slots  # (R, streams)
+        return self._gather_batch_aligned(state, s2)
 
+    def _gather_batch_aligned(
+        self, state: ReplayBufferState, s2: jax.Array
+    ) -> Batch:
+        """Assemble a full transition batch from (R, streams) slot indices
+        (shared by the uniform and the task-routed per-stream samplers)."""
+        slots = state.ep_id.shape[0]
         batch = self._gather_aligned(state.data, s2)
         obs = batch["observations"]
         if isinstance(obs, dict):

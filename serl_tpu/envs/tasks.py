@@ -170,7 +170,17 @@ class PandaPoseTaskEnv:
 
         phys, _ = jax.lax.scan(settle, phys, None, length=5)
         state = state._replace(physics=phys, rng=k_next)
+        # task-object placement hook runs BEFORE the single demo-reset draw
+        # so a demo-bank state is never clobbered (and the use/idx decision
+        # is drawn exactly once — advisor r4 finding on the old double-apply)
+        state = self._place_objects(state, rng)
         return self._maybe_demo_reset(state, rng)
+
+    def _place_objects(self, state: EnvState, rng: jnp.ndarray) -> EnvState:
+        """Overridable: task-specific object placement at reset (e.g. the
+        bin task puts the cube in the source bin). Base task leaves the
+        pick-env's uniform cube placement as-is."""
+        return state
 
     def _maybe_demo_reset(self, state: EnvState, rng: jnp.ndarray) -> EnvState:
         """With prob `_demo_reset_prob`, swap in a random demo-bank state
@@ -193,10 +203,11 @@ class PandaPoseTaskEnv:
         state = self._reset_state(rng)
         return state, self._obs(state)
 
-    def _step_state(self, state: EnvState, action: jnp.ndarray):
-        """Physics + reward only, NO observation: lets auto-reset render
-        exactly once per step (the render is the pixel path's hot op — the
-        same split the pick env uses, panda_pick.py:65-70)."""
+    def _apply_action(self, state: EnvState, action: jnp.ndarray):
+        """Action application + one control step, NO reward/obs — the
+        task-independent physics half of `_step_state`, shared with the
+        chained fwbw env (chained_bin.py) whose reward/success are
+        task-flag-conditioned. Returns (new_state, gripper_moved)."""
         cfg = self.config
         action = jnp.clip(action, -1.0, 1.0)
         dpos = action[:3] * cfg.action_scale[0]
@@ -237,8 +248,14 @@ class PandaPoseTaskEnv:
             mocap_pos=npos, mocap_quat=nquat, grip_ctrl=ng * 255.0
         )
         phys = engine.control_step(phys, self.obstacles)
-        new_state = state._replace(physics=phys, t=state.t + 1)
+        return state._replace(physics=phys, t=state.t + 1), gripper_moved
 
+    def _step_state(self, state: EnvState, action: jnp.ndarray):
+        """Physics + reward only, NO observation: lets auto-reset render
+        exactly once per step (the render is the pixel path's hot op — the
+        same split the pick env uses, panda_pick.py:65-70)."""
+        cfg = self.config
+        new_state, gripper_moved = self._apply_action(state, action)
         success = self._success(new_state)
         reward = self._reward(new_state, success, gripper_moved)
         done = (new_state.t >= cfg.time_limit_steps).astype(jnp.float32)
@@ -376,7 +393,7 @@ class BinRelocationEnv(PandaPoseTaskEnv):
             )
         self.obstacles = jnp.asarray(walls)  # (8, 2, 3)
 
-    def _reset_state(self, rng: jnp.ndarray) -> EnvState:
+    def _place_objects(self, state: EnvState, rng: jnp.ndarray) -> EnvState:
         """Place the cube in the SOURCE bin on every reset — including the
         in-graph auto-reset (`step_auto_reset` calls `_reset_state`, not
         `reset`). Round-3 bug: cube placement lived only in `reset()`, so
@@ -384,8 +401,10 @@ class BinRelocationEnv(PandaPoseTaskEnv):
         left it — cubes drifted out of the bins over training, and any
         episode ending with the cube in the TARGET bin made the next episode
         farm success reward with the task pre-solved (visible as train
-        success >> eval success in results/fwbw_bin_relocation_v5e*.log)."""
-        state = super()._reset_state(rng)
+        success >> eval success in results/fwbw_bin_relocation_v5e*.log).
+
+        Runs as the base class's placement hook, BEFORE the (single)
+        demo-reset draw — demo-bank states take precedence untouched."""
         src = self.BW_BIN if self.task_id == 0 else self.FW_BIN
         rng2 = jax.random.fold_in(rng, 99)
         # jitter up to near the walls (BIN_HALF 0.06 - cube half 0.02 =
@@ -398,10 +417,7 @@ class BinRelocationEnv(PandaPoseTaskEnv):
             cube_linvel=jnp.zeros(3),
             cube_angvel=jnp.zeros(3),
         )
-        state = state._replace(physics=phys, z_init=jnp.asarray(0.02))
-        # demo-bank states (applied by super() before the cube placement
-        # above would clobber them) take precedence: re-apply
-        return self._maybe_demo_reset(state, rng)
+        return state._replace(physics=phys, z_init=jnp.asarray(0.02))
 
     def _success(self, state: EnvState) -> jnp.ndarray:
         tgt = self.FW_BIN if self.task_id == 0 else self.BW_BIN

@@ -295,6 +295,362 @@ def make_fwbw_loop(
     return init_fn, run_chunk
 
 
+# --------------------------------------------------------------------- #
+# Chained (reset-free) fwbw training — the reference's actual E6 design
+# --------------------------------------------------------------------- #
+
+
+class ChainedCarry(NamedTuple):
+    fw_agent: SACAgent
+    bw_agent: SACAgent
+    env_states: Any  # batched ChainedState
+    obs: Any
+    fw_rb: Any  # RoutedBufferState
+    bw_rb: Any
+    fw_demo: Optional[Any]
+    bw_demo: Optional[Any]
+    rng: jnp.ndarray
+    env_steps: jnp.ndarray
+    ep_return: jnp.ndarray  # (n,)
+    ep_count: jnp.ndarray  # (2,) per-task completed episodes
+    ret_sum: jnp.ndarray  # (2,)
+    succ_sum: jnp.ndarray  # (2,) driving success (classifier when set)
+    succ_gt_sum: jnp.ndarray  # (2,) ground-truth success
+    switch_sum: jnp.ndarray  # () completed task-graph flips
+    intervening: jnp.ndarray  # (n,)
+
+
+def make_chained_loop(env, rb, config: FwBwConfig):
+    """Chained dual-policy program: ONE batch of reset-free ChainedBinEnv
+    envs whose tasks flip at success (VERDICT r4 item 1 — the reference's
+    task_graph runs IN training, not only at eval). Each transition is
+    routed to the owning policy's `RoutedReplayBuffer` by a per-stream task
+    mask; both learners run every iteration on their own buffers.
+
+    `env`: ChainedBinEnv. `rb`: RoutedReplayBuffer spec (shared by both
+    buffers). `config.envs_per_task`: per-task env count — the chained
+    batch is 2x that, so total env-step cadence matches the isolated loop.
+
+    Returns (init_fn, run_chunk):
+      init_fn(fw_agent, bw_agent, rng, fw_demo=None, bw_demo=None,
+              demo_rb=None) -> ChainedCarry
+      run_chunk(carry, num_iters) -> (carry, metrics)
+    """
+    if config.intervention_mode not in ("step", "episode", "rescue"):
+        raise ValueError(
+            f"intervention_mode must be 'step', 'episode' or 'rescue', got "
+            f"{config.intervention_mode!r}"
+        )
+    n = config.envs_per_task * 2
+    pixel_keys = rb.image_keys
+
+    def to_buffer_obs(obs_dict):
+        return serl_obs(obs_dict) if pixel_keys else flatten_obs(obs_dict)
+
+    def to_agent_obs(obs):
+        return add_stack_axis(obs, pixel_keys) if pixel_keys else obs
+
+    def _int_prob(env_steps):
+        p = config.intervention_prob
+        if config.intervention_decay_steps:
+            frac = 1.0 - env_steps.astype(jnp.float32) / float(
+                config.intervention_decay_steps
+            )
+            p = p * jnp.clip(frac, 0.0, 1.0)
+            p = jnp.maximum(p, config.intervention_min_prob)
+        return p
+
+    # demo buffers may use a different stream layout than the online ones
+    _demo_rb_holder = {}
+
+    @jax.jit
+    def _init_all(fw_agent, bw_agent, rng, fw_demo, bw_demo):
+        rng, k_env, k_int = jax.random.split(rng, 3)
+        keys = jax.random.split(k_env, n)
+        env_states, obs = jax.vmap(env.reset)(keys)
+        episode_mode = config.intervention_mode == "episode"
+        intervening = (
+            jax.random.uniform(k_int, (n,)) < config.intervention_prob
+        ) if episode_mode else jnp.zeros((n,), bool)
+        return ChainedCarry(
+            fw_agent=fw_agent,
+            bw_agent=bw_agent,
+            env_states=env_states,
+            obs=to_buffer_obs(obs),
+            fw_rb=rb.init_state(streams=n),
+            bw_rb=rb.init_state(streams=n),
+            fw_demo=fw_demo,
+            bw_demo=bw_demo,
+            rng=rng,
+            env_steps=jnp.zeros((), jnp.int32),
+            ep_return=jnp.zeros((n,)),
+            ep_count=jnp.zeros((2,), jnp.int32),
+            ret_sum=jnp.zeros((2,)),
+            succ_sum=jnp.zeros((2,)),
+            succ_gt_sum=jnp.zeros((2,)),
+            switch_sum=jnp.zeros(()),
+            intervening=intervening,
+        )
+
+    def init_fn(fw_agent, bw_agent, rng, fw_demo=None, bw_demo=None,
+                demo_rb=None):
+        _demo_rb_holder["rb"] = demo_rb
+        return _init_all(fw_agent, bw_agent, rng, fw_demo, bw_demo)
+
+    def _per_task(values, task, done_mask):
+        """Sum `values` over done episodes, split by task: (2,)."""
+        sel = jnp.where(done_mask, values, 0.0)
+        return jnp.stack(
+            [jnp.where(task == t, sel, 0.0).sum() for t in (0, 1)]
+        )
+
+    def _agent_update(agent, rb_state, demo_state, key):
+        demo_rb = _demo_rb_holder.get("rb")
+
+        def do(operand):
+            agent, rb_state, demo_state, key = operand
+
+            def one(agent, k):
+                if config.demo_fraction > 0.0 and demo_state is not None:
+                    batch = rb.sample_mixed(
+                        rb_state, demo_state, k,
+                        config.batch_size * config.utd_ratio,
+                        buffer_b=demo_rb,
+                    )
+                else:
+                    batch = rb.sample(
+                        rb_state, k, config.batch_size * config.utd_ratio
+                    )
+                return agent.update_high_utd(batch, utd_ratio=config.utd_ratio)
+
+            keys = jax.random.split(key, config.updates_per_iter)
+            agent, infos = jax.lax.scan(one, agent, keys)
+            return agent, jax.tree.map(lambda x: x.mean(axis=0), infos)
+
+        def skip(operand):
+            agent, rb_state, demo_state, key = operand
+            shapes = jax.eval_shape(lambda op: do(op)[1], operand)
+            return agent, jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes
+            )
+
+        # every stream needs >= 2 rows (memory-efficient successor lookup)
+        # AND the buffer overall must hold training_starts rows
+        can_train = (rb_state.size.min() >= 2) & (
+            rb_state.size.sum()
+            >= jnp.asarray(
+                max(config.training_starts,
+                    config.batch_size * config.utd_ratio),
+                jnp.int32,
+            )
+        )
+        return jax.lax.cond(can_train, do, skip,
+                            (agent, rb_state, demo_state, key))
+
+    def iter_body(carry: ChainedCarry, _):
+        (rng, act_key_fw, act_key_bw, rand_key, int_key, int_reset_key,
+         k_fw_up, k_bw_up) = jax.random.split(carry.rng, 8)
+        task = carry.env_states.task  # (n,)
+
+        random_actions = jax.random.uniform(
+            rand_key, (n, env.ACTION_DIM), minval=-1.0, maxval=1.0
+        )
+        agent_obs = to_agent_obs(carry.obs)
+        fw_actions = carry.fw_agent.sample_actions(agent_obs, seed=act_key_fw)
+        bw_actions = carry.bw_agent.sample_actions(agent_obs, seed=act_key_bw)
+        policy_actions = jnp.where(
+            (task == 0)[:, None], fw_actions, bw_actions
+        )
+        actions = jnp.where(
+            carry.env_steps < config.random_steps,
+            random_actions,
+            policy_actions,
+        )
+        intervening = carry.intervening
+        if config.intervention_prob > 0.0:
+            from serl_tpu.envs.scripted_expert import relocation_expert_action
+
+            tgt = jnp.where(
+                (task == 0)[:, None],
+                env.fw.FW_BIN[None, :],
+                env.fw.BW_BIN[None, :],
+            )
+            scale = jnp.asarray(env.fw.config.action_scale)
+            expert = jax.vmap(
+                lambda s, t: relocation_expert_action(s, t, scale)
+            )(carry.env_states.env, tgt)
+            if config.intervention_mode == "episode":
+                intervene = intervening
+            elif config.intervention_mode == "rescue":
+                intervene = intervening | (
+                    jax.random.uniform(int_key, (n,)) < _int_prob(carry.env_steps)
+                )
+                intervening = intervene
+            else:
+                intervene = (
+                    jax.random.uniform(int_key, (n,)) < _int_prob(carry.env_steps)
+                )
+            actions = jnp.where(intervene[:, None], expert, actions)
+
+        env_states, next_obs_d, rewards, dones, info = jax.vmap(
+            env.step_auto_reset
+        )(carry.env_states, actions)
+        next_obs = to_buffer_obs(next_obs_d)
+
+        transitions = {
+            "observations": carry.obs,
+            "actions": actions,
+            "rewards": rewards,
+            "masks": 1.0 - dones,
+            "dones": dones,
+        }
+        if rb.store_next_obs:
+            transitions["next_observations"] = to_buffer_obs(info["final_obs"])
+        ep_ids = carry.env_states.env.ep_id * n + jnp.arange(n, dtype=jnp.int32)
+        fw_rb = rb.insert(carry.fw_rb, transitions, ep_ids, mask=(task == 0))
+        bw_rb = rb.insert(carry.bw_rb, transitions, ep_ids, mask=(task == 1))
+
+        done_mask = dones > 0.5
+        ep_return = carry.ep_return + rewards
+        ep_count = carry.ep_count + jnp.stack(
+            [((task == t) & done_mask).sum() for t in (0, 1)]
+        ).astype(jnp.int32)
+        ret_sum = carry.ret_sum + _per_task(ep_return, task, done_mask)
+        succ_sum = carry.succ_sum + _per_task(info["success"], task, done_mask)
+        succ_gt_sum = carry.succ_gt_sum + _per_task(
+            info["success_gt"], task, done_mask
+        )
+        switch_sum = carry.switch_sum + info["switched"].sum()
+        ep_return = jnp.where(done_mask, 0.0, ep_return)
+        if config.intervention_prob > 0.0 and config.intervention_mode == "episode":
+            fresh_draw = (
+                jax.random.uniform(int_reset_key, (n,)) < _int_prob(carry.env_steps)
+            )
+            intervening = jnp.where(done_mask, fresh_draw, intervening)
+        elif config.intervention_mode == "rescue":
+            intervening = jnp.where(done_mask, False, intervening)
+
+        fw_agent, fw_infos = _agent_update(
+            carry.fw_agent, fw_rb, carry.fw_demo, k_fw_up
+        )
+        bw_agent, bw_infos = _agent_update(
+            carry.bw_agent, bw_rb, carry.bw_demo, k_bw_up
+        )
+
+        env_steps = carry.env_steps + n
+        new_carry = ChainedCarry(
+            fw_agent=fw_agent,
+            bw_agent=bw_agent,
+            env_states=env_states,
+            obs=next_obs,
+            fw_rb=fw_rb,
+            bw_rb=bw_rb,
+            fw_demo=carry.fw_demo,
+            bw_demo=carry.bw_demo,
+            rng=rng,
+            env_steps=env_steps,
+            ep_return=ep_return,
+            ep_count=ep_count,
+            ret_sum=ret_sum,
+            succ_sum=succ_sum,
+            succ_gt_sum=succ_gt_sum,
+            switch_sum=switch_sum,
+            intervening=intervening,
+        )
+        metrics = {
+            "env_steps": env_steps,
+            "reward_mean": rewards.mean(),
+            "fw/critic_loss": fw_infos["critic"]["critic_loss"],
+            "bw/critic_loss": bw_infos["critic"]["critic_loss"],
+            "ep_count": ep_count,
+            "ret_sum": ret_sum,
+            "succ_sum": succ_sum,
+            "succ_gt_sum": succ_gt_sum,
+            "switch_sum": switch_sum,
+            "fw_rows": fw_rb.size.sum(),
+            "bw_rows": bw_rb.size.sum(),
+        }
+        return new_carry, metrics
+
+    @partial(jax.jit, static_argnames=("num_iters",), donate_argnums=(0,))
+    def run_chunk(carry: ChainedCarry, num_iters: int):
+        return jax.lax.scan(iter_body, carry, None, length=num_iters)
+
+    return init_fn, run_chunk
+
+
+def collect_chained_demos(env, rb, num_streams, steps, rng,
+                          pixel_obs=False):
+    """Scripted-expert demos collected IN the chained env: the expert keeps
+    relocating the cube while the task graph flips at each delivery, so the
+    demo distribution natively includes the handoff states (arm over the
+    delivery bin, cube wherever it settled) that the isolated-training
+    design had to approximate with a separate augmentation bank. Returns
+    (fw_demo_state, bw_demo_state) — two RoutedReplayBuffer states with
+    `num_streams` streams, routed by the task active at each step."""
+    from serl_tpu.envs.scripted_expert import relocation_expert_action
+
+    fw_state = rb.init_state(streams=num_streams)
+    bw_state = rb.init_state(streams=num_streams)
+
+    def to_obs(o):
+        return serl_obs(o) if pixel_obs else flatten_obs(o)
+
+    @jax.jit
+    def rollout(fw_state, bw_state, keys):
+        states, obs = jax.vmap(env.reset)(keys)
+        obs = to_obs(obs)
+
+        def body(carry, _):
+            states, obs, fw_state, bw_state = carry
+            task = states.task
+            tgt = jnp.where(
+                (task == 0)[:, None],
+                env.fw.FW_BIN[None, :],
+                env.fw.BW_BIN[None, :],
+            )
+            scale = jnp.asarray(env.fw.config.action_scale)
+            actions = jax.vmap(
+                lambda s, t: relocation_expert_action(s, t, scale)
+            )(states.env, tgt)
+            new_states, next_obs_d, rew, done, info = jax.vmap(
+                env.step_auto_reset
+            )(states, actions)
+            tr = {
+                "observations": obs,
+                "actions": actions,
+                "rewards": rew,
+                "masks": 1.0 - done,
+                "dones": done,
+            }
+            if rb.store_next_obs:
+                tr["next_observations"] = to_obs(info["final_obs"])
+            ep_ids = states.env.ep_id * num_streams + jnp.arange(
+                num_streams, dtype=jnp.int32
+            )
+            fw_state = rb.insert(fw_state, tr, ep_ids, mask=(task == 0))
+            bw_state = rb.insert(bw_state, tr, ep_ids, mask=(task == 1))
+            succ = jnp.where(done > 0.5, info["success_gt"], 0.0).sum()
+            return (new_states, to_obs(next_obs_d), fw_state, bw_state), (
+                succ, (done > 0.5).sum()
+            )
+
+        (states, obs, fw_state, bw_state), (succs, eps) = jax.lax.scan(
+            body, (states, obs, fw_state, bw_state), None, length=steps
+        )
+        return fw_state, bw_state, succs.sum(), eps.sum()
+
+    keys = jax.random.split(rng, num_streams)
+    fw_state, bw_state, succ, eps = rollout(fw_state, bw_state, keys)
+    stats = {
+        "episodes": float(eps),
+        "success_rate": float(succ) / max(float(eps), 1.0),
+        "fw_rows": int(fw_state.size.sum()),
+        "bw_rows": int(bw_state.size.sum()),
+    }
+    return fw_state, bw_state, stats
+
+
 # jitted chained-eval rollouts, built once per (envs, shape) — rebuilding
 # per call recompiles every eval (same bug class as loop.evaluate). Entries
 # hold strong refs to both envs so the id()-based key can't be reused by a

@@ -72,6 +72,21 @@ def load_resnet10_params(
                     )
                 log.warning("pretrained params missing module %s", k)
                 continue
+            # pytree-structure check BEFORE the two-tree map: a mismatched
+            # pickle must hit the strict/warning path with a readable
+            # message, not an opaque tree-structure error (advisor r4)
+            pkl_struct = jax.tree.structure(encoder_params[k])
+            agent_struct = jax.tree.structure(subtree[k])
+            if pkl_struct != agent_struct:
+                msg = (
+                    f"pytree structure mismatch grafting module '{k}' into "
+                    f"encoder_{key}: agent {agent_struct} vs pickle "
+                    f"{pkl_struct}"
+                )
+                if strict:
+                    raise ValueError(msg)
+                log.warning("%s; skipping module", msg)
+                continue
             # cast to the agent's param dtype: the pkl may be stored f16
             # (artifact size), but the loop carry requires dtype stability
             new = jax.tree.map(

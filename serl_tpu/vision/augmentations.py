@@ -46,6 +46,13 @@ def batched_random_crop(img, rng, *, padding, num_batch_dims: int = 1):
     tests/test_vision.py). `batched_random_crop_gather` keeps the gather
     formulation for comparison.
     """
+    if jnp.issubdtype(jnp.asarray(img).dtype, jnp.floating):
+        # the bf16 matmul path is only bit-exact for integer-valued pixels
+        # (uint8 <= 255); float inputs keep the dtype-exact gather
+        # formulation (advisor r4 finding)
+        return batched_random_crop_gather(
+            img, rng, padding=padding, num_batch_dims=num_batch_dims
+        )
     original_shape = img.shape
     img = img.reshape((-1,) + img.shape[num_batch_dims:])
     b, h, w = img.shape[0], img.shape[1], img.shape[2]
