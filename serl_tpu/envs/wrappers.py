@@ -79,6 +79,40 @@ def chunk_push(state: ChunkState, obs: Dict) -> ChunkState:
     return ChunkState(frames=jax.tree.map(push, state.frames, obs))
 
 
+def act_exec_step(env, state, action_chunk: jnp.ndarray):
+    """Receding-horizon action execution (reference ChunkingWrapper
+    `act_exec_horizon`, serl_launcher/wrappers/chunking.py:62-73): the
+    policy emits a (T, act_dim) chunk and the env executes the T
+    sub-actions sequentially; the post-chunk observation and the FINAL
+    sub-step's reward are returned (reference semantics — intermediate
+    rewards are dropped).
+
+    TPU-native: a `lax.scan` over the chunk on a functional env (single-env
+    `env.step`; vmap to batch). One deliberate divergence for the
+    functional setting: `done` is the OR over the chunk (the reference's
+    python loop would simply keep stepping a finished episode; in-graph we
+    must not lose the episode boundary). `info["success"]` is the max over
+    the chunk for the same reason.
+    """
+
+    def body(carry, action):
+        s, _, _, d_acc, succ_acc = carry
+        s, obs, r, d, info = env.step(s, action)
+        return (
+            s, obs, r, jnp.maximum(d_acc, d),
+            jnp.maximum(succ_acc, info["success"]),
+        ), None
+
+    s0, obs0 = state, None
+    # prime the carry with one step so obs/reward have concrete shapes
+    s0, obs, r, d, info = env.step(state, action_chunk[0])
+    carry = (s0, obs, r, d, info["success"])
+    if action_chunk.shape[0] > 1:
+        carry, _ = jax.lax.scan(body, carry, action_chunk[1:])
+    s, obs, r, d, succ = carry
+    return s, obs, r, d, {"success": succ}
+
+
 def front_camera_obs(obs: Dict, front_key: str = "front") -> Dict:
     """Front-camera-only view for reward classifiers (reference
     FrontCameraWrapper :6-26)."""
