@@ -107,6 +107,39 @@ FWBW_CARRY_SPEC = {
     "env_steps": "rep",
 }
 
+# RoutedBufferState (serl_tpu/data/routed_buffer.py): per-stream cursor and
+# size ride the streams axis, so they shard with it — each device owns its
+# envs' cursors end to end and the masked insert stays fully shard-local.
+ROUTED_BUFFER_STATE_SPEC = {
+    "data": "buffer_data",
+    "insert_slot": "env",
+    "size": "env",
+    "ep_id": "buffer_data",
+}
+
+# ChainedCarry (serl_tpu/training/fwbw.py::make_chained_loop): ONE chained
+# env batch sharded over dp; both agents replicated; both routed buffers
+# sharded along streams; routed demo states replicated (small, read-only).
+CHAINED_CARRY_SPEC = {
+    "fw_agent": "rep",
+    "bw_agent": "rep",
+    "env_states": "env",
+    "obs": "env",
+    "fw_rb": "routed_buffer",
+    "bw_rb": "routed_buffer",
+    "fw_demo": "rep",
+    "bw_demo": "rep",
+    "rng": "rep",
+    "env_steps": "rep",
+    "ep_return": "env",
+    "ep_count": "rep",
+    "ret_sum": "rep",
+    "succ_sum": "rep",
+    "succ_gt_sum": "rep",
+    "switch_sum": "rep",
+    "intervening": "env",
+}
+
 
 def _fill(tree, sh):
     return jax.tree.map(lambda _: sh, tree)
@@ -126,6 +159,25 @@ def _buffer_state_shardings(rb_state, rep, buf):
         **{
             name: _fill(getattr(rb_state, name), kinds[kind])
             for name, kind in BUFFER_STATE_SPEC.items()
+            if name in fields
+        }
+    )
+
+
+def _routed_buffer_state_shardings(rb_state, rep, env, buf):
+    fields = set(type(rb_state).__dataclass_fields__)
+    unknown = fields - set(ROUTED_BUFFER_STATE_SPEC)
+    if unknown:
+        raise ValueError(
+            f"RoutedBufferState field(s) {sorted(unknown)} have no declared "
+            "sharding — add them to ROUTED_BUFFER_STATE_SPEC "
+            "(serl_tpu/distributed/sharding.py)"
+        )
+    kinds = {"buffer_data": buf, "rep": rep, "env": env}
+    return rb_state.replace(
+        **{
+            name: _fill(getattr(rb_state, name), kinds[kind])
+            for name, kind in ROUTED_BUFFER_STATE_SPEC.items()
             if name in fields
         }
     )
@@ -155,6 +207,8 @@ def _spec_shardings(carry, spec, rep, env, buf):
             out[name] = _fill(value, env)
         elif kind == "buffer":
             out[name] = _buffer_state_shardings(value, rep, buf)
+        elif kind == "routed_buffer":
+            out[name] = _routed_buffer_state_shardings(value, rep, env, buf)
         elif kind == "task":
             out[name] = _spec_shardings(value, TASK_CARRY_SPEC, rep, env, buf)
         else:
@@ -213,3 +267,29 @@ def shard_carry(carry, mesh: Mesh, axis: str = "dp"):
 def shard_fwbw_carry(carry, mesh: Mesh, axis: str = "dp"):
     """Place a FwBwCarry on the mesh with the explicit layout above."""
     return _device_put_tree(carry, fwbw_carry_shardings(carry, mesh, axis))
+
+
+def chained_carry_shardings(carry, mesh: Mesh, axis: str = "dp"):
+    """ChainedCarry layout: chained env batch + both routed buffers sharded
+    over dp, both agents replicated."""
+    rep = replicated(mesh)
+    env = batch_sharded(mesh, axis)
+    buf = buffer_sharded(mesh, axis)
+    n_shards = mesh.shape[axis]
+    num_envs = jax.tree.leaves(carry.env_states)[0].shape[0]
+    if num_envs % n_shards != 0:
+        raise ValueError(
+            f"num_envs {num_envs} must divide evenly over {n_shards} shards"
+        )
+    for rb in (carry.fw_rb, carry.bw_rb):
+        if rb.ep_id.shape[1] % n_shards != 0:
+            raise ValueError(
+                f"buffer streams {rb.ep_id.shape[1]} must divide evenly "
+                f"over {n_shards} shards"
+            )
+    return _spec_shardings(carry, CHAINED_CARRY_SPEC, rep, env, buf)
+
+
+def shard_chained_carry(carry, mesh: Mesh, axis: str = "dp"):
+    """Place a ChainedCarry on the mesh with the explicit layout above."""
+    return _device_put_tree(carry, chained_carry_shardings(carry, mesh, axis))

@@ -434,15 +434,16 @@ def make_chained_loop(env, rb, config: FwBwConfig):
                 lambda s: jnp.zeros(s.shape, s.dtype), shapes
             )
 
-        # every stream needs >= 2 rows (memory-efficient successor lookup)
-        # AND the buffer overall must hold training_starts rows
-        can_train = (rb_state.size.min() >= 2) & (
-            rb_state.size.sum()
-            >= jnp.asarray(
-                max(config.training_starts,
-                    config.batch_size * config.utd_ratio),
-                jnp.int32,
-            )
+        # gate on TOTAL routed rows: early on, streams that have not yet
+        # served this task sample their zero-initialized slot 0 (see
+        # RoutedReplayBuffer._sample_aligned) — benign zero-transitions that
+        # vanish as the task graph cycles every stream through both tasks.
+        # A per-stream min-size gate would instead block both learners on
+        # the single slowest stream for tens of thousands of steps.
+        can_train = rb_state.size.sum() >= jnp.asarray(
+            max(config.training_starts,
+                config.batch_size * config.utd_ratio, 1),
+            jnp.int32,
         )
         return jax.lax.cond(can_train, do, skip,
                             (agent, rb_state, demo_state, key))
