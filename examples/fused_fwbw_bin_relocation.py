@@ -17,10 +17,12 @@ classifiers on the front camera (trained in-script like
 `train_reward_classifier.py:41-172`), with ground truth used only for
 evaluation.
 
-Evaluation is the chained task graph as well (`evaluate_chained`): fw runs
-to success, the physical state is handed to bw with no reset, round-trip
-success is the headline. SOLVED requires TWO consecutive evals >= 0.8
-(solve-criteria hardening, VERDICT r4 weak #5).
+Evaluation runs THROUGH the chained env (`evaluate_chained_env`) with the
+reference's exact switch semantics: fw runs to success, the episode ends,
+the ARM resets to the bw task's pose while the cube stays where fw
+delivered it, then bw runs — round-trip success is the headline. SOLVED
+requires TWO consecutive evals >= 0.8 (solve-criteria hardening, VERDICT
+r4 weak #5).
 
 Proven recipe (results/RESULTS.md):
     python examples/fused_fwbw_bin_relocation.py \
@@ -44,11 +46,10 @@ import numpy as np
 
 from serl_tpu.data.routed_buffer import RoutedReplayBuffer
 from serl_tpu.envs.chained_bin import ChainedBinEnv
-from serl_tpu.envs.tasks import BinRelocationEnv
 from serl_tpu.training.fwbw import (
     FwBwConfig,
     collect_chained_demos,
-    evaluate_chained,
+    evaluate_chained_env,
     make_chained_loop,
 )
 from serl_tpu.training.launcher import make_drq_agent, make_sac_agent
@@ -90,9 +91,9 @@ def train_fwbw_classifiers(args, out):
     frames from chained-expert + random rollouts, labeled by ground truth
     (cube inside the fw / bw bin), BCE-trained with random-crop
     augmentation. Returns (fw_fn, bw_fn): (H, W, C) front image -> logit."""
-    from serl_tpu.envs.physics import engine as _engine
     from serl_tpu.envs.rendering import render_cameras
     from serl_tpu.envs.scripted_expert import relocation_expert_action
+    from serl_tpu.envs.tasks import BinRelocationEnv
     from serl_tpu.networks.classifier import (
         classifier_train_step,
         create_classifier,
@@ -321,13 +322,13 @@ def main():
         )
         print(f"chained demos: {stats}", file=out, flush=True)
 
-    # eval on the true task distribution: clean per-task envs, ground truth
-    env_kwargs = dict(
+    # eval through the chained env itself (reference task-switch semantics:
+    # arm reset at the switch, cube stays) — ground truth, no fresh resets
+    eval_env = ChainedBinEnv(
         dense_shaping=args.dense, image_obs=args.pixels,
-        render_size=args.image_size,
+        render_size=args.image_size, fresh_reset_prob=0.0,
+        classifier_fns=None,
     )
-    eval_fw_env = BinRelocationEnv(task_id=0, **env_kwargs)
-    eval_bw_env = BinRelocationEnv(task_id=1, **env_kwargs)
 
     init_fn, run_chunk = make_chained_loop(env, rb, config)
     carry = init_fn(
@@ -360,8 +361,8 @@ def main():
             )
         line += f" switches {int(m['switch_sum'][-1])}"
         prev = {"ep": ep, "ret": ret, "succ": succ, "gt": gt}
-        ev = evaluate_chained(
-            eval_fw_env, eval_bw_env, carry.fw_agent, carry.bw_agent,
+        ev = evaluate_chained_env(
+            eval_env, carry.fw_agent, carry.bw_agent,
             jax.random.PRNGKey(steps), num_episodes=32,
             pixel_keys=pixel_keys,
         )
@@ -391,8 +392,8 @@ def main():
             break
 
     # honest final numbers: fresh seeds, 64 episodes, final AND best pair
-    final = evaluate_chained(
-        eval_fw_env, eval_bw_env, carry.fw_agent, carry.bw_agent,
+    final = evaluate_chained_env(
+        eval_env, carry.fw_agent, carry.bw_agent,
         jax.random.PRNGKey(999331), num_episodes=64, pixel_keys=pixel_keys,
     )
     print(
@@ -404,8 +405,8 @@ def main():
         file=out, flush=True,
     )
     if best["pair"] is not None:
-        b = evaluate_chained(
-            eval_fw_env, eval_bw_env, best["pair"][0], best["pair"][1],
+        b = evaluate_chained_env(
+            eval_env, best["pair"][0], best["pair"][1],
             jax.random.PRNGKey(999333), num_episodes=64,
             pixel_keys=pixel_keys,
         )

@@ -652,6 +652,144 @@ def collect_chained_demos(env, rb, num_streams, steps, rng,
     return fw_state, bw_state, stats
 
 
+_CHAIN_ENV_EVAL_CACHE = {}
+
+
+def evaluate_chained_env(
+    env,
+    fw_agent: SACAgent,
+    bw_agent: SACAgent,
+    rng,
+    num_episodes: int = 32,
+    pixel_keys=(),
+):
+    """Round-trip evaluation THROUGH the chained env — the reference's exact
+    task-switch semantics: on fw success the episode ends, `env.reset()`
+    returns the ARM to the bw task's reset pose while the CUBE stays where
+    fw delivered it (async_drq_randomized.py:265-272 set_task_id +
+    env.reset(); franka_env.py go_to_rest), then the bw policy runs.
+
+    (The older `evaluate_chained` hands over the raw physical state with NO
+    arm reset — harsher than the reference's own protocol, since the next
+    policy starts from the previous policy's final arm pose instead of its
+    reset pose. Kept as a diagnostic; this is the headline metric.)
+
+    `env` must be a ChainedBinEnv with fresh_reset_prob=0 and no
+    classifier_fns (ground-truth success only). Returns fw success, bw
+    success given fw, and round-trip success over `num_episodes` chains.
+    """
+    assert env.fresh_reset_prob == 0.0, "eval env must not fresh-reset"
+    assert env.classifier_fns is None, "eval runs on ground truth"
+    max_steps = env.time_limit_steps
+
+    if pixel_keys:
+        obs_fn = lambda o: add_stack_axis(o, tuple(pixel_keys))
+    else:
+        obs_fn = lambda o: o
+    cache_key = (id(env), num_episodes, tuple(pixel_keys))
+    entry = _CHAIN_ENV_EVAL_CACHE.get(cache_key)
+    rollout = entry[1] if entry is not None and entry[0] is env else None
+
+    if rollout is None:
+
+        @jax.jit
+        def rollout(fw_agent, bw_agent, keys):
+            n = keys.shape[0]
+            states, obs_d = jax.vmap(lambda k: env.reset(k, task=0))(keys)
+            obs = serl_obs(obs_d) if pixel_keys else flatten_obs(obs_d)
+
+            def body(carry, _):
+                states, obs, eps_done, fw_succ, rt_succ = carry
+                aobs = obs_fn(obs)
+                fw_a = fw_agent.sample_actions(aobs, argmax=True)
+                bw_a = bw_agent.sample_actions(aobs, argmax=True)
+                actions = jnp.where(
+                    (states.task == 0)[:, None], fw_a, bw_a
+                )
+                new_states, new_obs_d, r, d, info = jax.vmap(
+                    env.step_auto_reset
+                )(states, actions)
+                new_obs = (
+                    serl_obs(new_obs_d) if pixel_keys
+                    else flatten_obs(new_obs_d)
+                )
+                done = d > 0.5
+                sw = info["switched"]
+                # episode 0 = fw attempt; episode 1 (if fw switched) = bw
+                fw_succ = jnp.where((eps_done == 0) & done, sw, fw_succ)
+                rt_succ = jnp.where(
+                    (eps_done == 1) & done, sw & (fw_succ > 0.5), rt_succ
+                )
+                new_eps = eps_done + done.astype(jnp.int32)
+                # freeze a chain once its two episodes are spent
+                frozen = eps_done >= 2
+                sel = lambda a, b: jnp.where(
+                    frozen.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+                )
+                states = jax.tree.map(sel, states, new_states)
+                obs = jax.tree.map(sel, obs, new_obs)
+                eps_done = jnp.where(frozen, eps_done, new_eps)
+                return (states, obs, eps_done, fw_succ, rt_succ), None
+
+            init = (
+                states, obs, jnp.zeros(n, jnp.int32),
+                jnp.zeros(n), jnp.zeros(n),
+            )
+            (states, obs, eps, fw_succ, rt_succ), _ = jax.lax.scan(
+                body, init, None, length=2 * max_steps
+            )
+
+            # bw-solo diagnostic: one clean bw episode per chain
+            bw_states, bw_obs_d = jax.vmap(
+                lambda k: env.reset(jax.random.fold_in(k, 1), task=1)
+            )(keys)
+            bw_obs = (
+                serl_obs(bw_obs_d) if pixel_keys else flatten_obs(bw_obs_d)
+            )
+
+            def bw_body(carry, _):
+                states, obs, succ = carry
+                actions = bw_agent.sample_actions(obs_fn(obs), argmax=True)
+                new_states, new_obs_d, r, d, info = jax.vmap(
+                    env.step_auto_reset
+                )(states, actions)
+                new_obs = (
+                    serl_obs(new_obs_d) if pixel_keys
+                    else flatten_obs(new_obs_d)
+                )
+                succ = jnp.maximum(
+                    succ, jnp.where(d > 0.5, info["success_gt"], 0.0)
+                )
+                frozen = states.env.ep_id > bw_states.env.ep_id
+                sel = lambda a, b: jnp.where(
+                    frozen.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+                )
+                states = jax.tree.map(sel, states, new_states)
+                obs = jax.tree.map(sel, obs, new_obs)
+                return (states, obs, succ), None
+
+            (_, _, bw_solo), _ = jax.lax.scan(
+                bw_body, (bw_states, bw_obs, jnp.zeros(n)), None,
+                length=max_steps,
+            )
+            return fw_succ, rt_succ, bw_solo
+
+        _CHAIN_ENV_EVAL_CACHE[cache_key] = (env, rollout)
+
+    keys = jax.random.split(rng, num_episodes)
+    fw_succ, rt_succ, bw_solo = rollout(fw_agent, bw_agent, keys)
+    fw_succ = jnp.asarray(fw_succ)
+    rt_succ = jnp.asarray(rt_succ)
+    return {
+        "eval/fw_success": float(fw_succ.mean()),
+        "eval/bw_success": float(jnp.asarray(bw_solo).mean()),
+        "eval/bw_success_given_fw": float(
+            rt_succ.sum() / jnp.maximum(fw_succ.sum(), 1.0)
+        ),
+        "eval/round_trip_success": float(rt_succ.mean()),
+    }
+
+
 # jitted chained-eval rollouts, built once per (envs, shape) — rebuilding
 # per call recompiles every eval (same bug class as loop.evaluate). Entries
 # hold strong refs to both envs so the id()-based key can't be reused by a
