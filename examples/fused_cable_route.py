@@ -300,6 +300,7 @@ def main():
     t0 = time.time()
     prev_ep, prev_suc = 0, 0.0
     n_chunks = 0
+    solve_streak = 0
     while int(carry.env_steps) < args.total_steps:
         carry, m = run_chunk(carry, chunk)
         n_chunks += 1
@@ -320,9 +321,16 @@ def main():
             f"eval_pose_succ {float(p_succ):.2f}",
             file=out, flush=True,
         )
-        if float(c_succ) >= 0.9 and float(p_succ) >= 0.9:
+        # hardened solve criterion (VERDICT r4 weak #5): 2 consecutive evals
+        solve_streak = (
+            solve_streak + 1
+            if float(c_succ) >= 0.9 and float(p_succ) >= 0.9
+            else 0
+        )
+        if solve_streak >= 2:
             print(
-                f"SOLVED at {steps} env steps ({time.time()-t0:.0f}s): "
+                f"SOLVED (both evals >= 0.9 on 2 consecutive rounds) at "
+                f"{steps} env steps ({time.time()-t0:.0f}s): "
                 "classifier reward and ground truth agree",
                 file=out, flush=True,
             )

@@ -193,6 +193,7 @@ def main():
     t0 = time.time()
     prev_ep, prev_suc = 0, 0.0
     n_chunks = 0
+    solve_streak = 0
     while int(carry.env_steps) < args.total_steps:
         carry, m = run_chunk(carry, chunk)
         n_chunks += 1
@@ -215,9 +216,12 @@ def main():
             file=out,
             flush=True,
         )
-        if ev["eval/success_rate"] >= 0.9:
+        # hardened solve criterion (VERDICT r4 weak #5): 2 consecutive evals
+        solve_streak = solve_streak + 1 if ev["eval/success_rate"] >= 0.9 else 0
+        if solve_streak >= 2:
             print(
-                f"SOLVED at {steps} env steps ({time.time()-t0:.0f}s)",
+                f"SOLVED (eval >= 0.9 on 2 consecutive evals) at {steps} "
+                f"env steps ({time.time()-t0:.0f}s)",
                 file=out,
                 flush=True,
             )
