@@ -177,6 +177,7 @@ class DrQAgent(SACAgent):
         *,
         encoder_type: str = "small",
         shared_encoder: bool = False,
+        shared_batch_concat: bool = True,
         use_proprio: bool = True,
         custom_encoders: Optional[dict] = None,  # per-key modules (perf ablations)
         augment: bool = True,
@@ -200,6 +201,7 @@ class DrQAgent(SACAgent):
             use_proprio=use_proprio,
             enable_stacking=True,
             image_keys=tuple(image_keys),
+            shared_batch_concat=shared_batch_concat,
         )
         agent = cls.create_pixels(
             rng,

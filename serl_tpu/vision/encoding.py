@@ -37,12 +37,17 @@ class ObsEncoder(nn.Module):
     proprio_latent_dim: int = 64
     enable_stacking: bool = True
     image_keys: Tuple[str, ...] = ("image",)
+    # when one module serves several cameras, run them as ONE conv pipeline
+    # over a camera-stacked batch axis (False = apply per camera — kept for
+    # the perf ablation in tools/perf_speed_of_light.py)
+    shared_batch_concat: bool = True
 
     @nn.compact
     def __call__(self, observations, train: bool = False, is_encoded: bool = False):
         images = observations.get("images", observations)
         shared = (
             not is_encoded
+            and self.shared_batch_concat
             and len(self.image_keys) > 1
             and len({id(self.encoders[k]) for k in self.image_keys}) == 1
         )

@@ -84,7 +84,7 @@ def bench_update(agent, batch, utd, iters):
     return iters * utd / best
 
 
-def make_agent(variant, batch_example, seed=0):
+def make_agent(variant, batch_example, seed=0, shared=False, no_concat=False):
     import flax.linen as nn
 
     from serl_tpu.agents.drq import DrQAgent
@@ -106,7 +106,11 @@ def make_agent(variant, batch_example, seed=0):
             **{k: v for k, v in encoder_kwargs.items() if k != "compute_dtype"},
         )
 
-    encoders = {k: build(k) for k in IMAGE_KEYS}
+    if shared:
+        one = build("shared")
+        encoders = {k: one for k in IMAGE_KEYS}
+    else:
+        encoders = {k: build(k) for k in IMAGE_KEYS}
     sample_obs = jax.tree.map(lambda x: x[:1], batch_example["observations"])
     agent = DrQAgent.create_drq(
         jax.random.PRNGKey(seed),
@@ -114,6 +118,7 @@ def make_agent(variant, batch_example, seed=0):
         batch_example["actions"][:1],
         encoder_type="small",
         custom_encoders=encoders,
+        shared_batch_concat=not no_concat,
         use_proprio=True,
         image_keys=IMAGE_KEYS,
         policy_kwargs={
