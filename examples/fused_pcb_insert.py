@@ -52,8 +52,15 @@ def main():
     p.add_argument("--num_demos", type=int, default=20)
     # the proven sparse-reward recipe (peg, results/peg_insert_rlpd_v5e.log)
     p.add_argument("--intervention_prob", type=float, default=0.5)
+    p.add_argument("--intervention_mode", default="episode",
+                   choices=["step", "episode", "rescue"])
     p.add_argument("--intervention_decay_steps", type=int, default=100_000)
     p.add_argument("--intervention_min_prob", type=float, default=0.0)
+    # reverse curriculum: episodes may start from expert-visited states
+    # (mid-approach / at-insertion), making the sparse reward reachable from
+    # late-phase states first — the lever that stabilized fwbw in r4
+    p.add_argument("--demo_reset_prob", type=float, default=0.0)
+    p.add_argument("--eval_episodes", type=int, default=32)
     p.add_argument("--bc_weight", type=float, default=0.0)
     p.add_argument("--discount", type=float, default=0.97)
     p.add_argument("--total_steps", type=int, default=200_000)
@@ -105,10 +112,24 @@ def main():
         buffer_capacity=(100_000 // args.num_envs) * args.num_envs,
         demo_fraction=0.5 if demo_state is not None else 0.0,
         intervention_prob=args.intervention_prob,
-        intervention_mode="episode",
+        intervention_mode=args.intervention_mode,
         intervention_decay_steps=args.intervention_decay_steps,
         intervention_min_prob=args.intervention_min_prob,
     )
+    if args.demo_reset_prob > 0.0:
+        bank = demo_lib.collect_state_bank(
+            env,
+            lambda states, rng: jax.vmap(expert)(states),
+            jax.random.PRNGKey(args.seed + 5000),
+            num_streams=8,
+            steps=cfg.time_limit_steps,
+        )
+        env.set_demo_reset_bank(bank, args.demo_reset_prob)
+        print(
+            f"demo-reset bank: {jax.tree.leaves(bank)[0].shape[0]} states "
+            f"(p={args.demo_reset_prob})",
+            flush=True,
+        )
     rb = ReplayBuffer(
         {
             "observations": jnp.zeros((OBS_DIM,)),
@@ -134,6 +155,7 @@ def main():
         total_env_steps=args.total_steps,
         chunk_iters=50,
         eval_period_chunks=5,
+        eval_episodes=args.eval_episodes,
         seed=args.seed,
         demo_state=demo_state,
         logger=logger,
