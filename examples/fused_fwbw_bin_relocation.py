@@ -210,6 +210,8 @@ def main():
     p.add_argument("--utd_ratio", type=int, default=4)
     p.add_argument("--training_starts", type=int, default=2000)
     p.add_argument("--random_steps", type=int, default=2000)
+    p.add_argument("--updates_per_iter", type=int, default=1)
+    p.add_argument("--eval_episodes", type=int, default=32)
     p.add_argument("--intervention_prob", type=float, default=0.5)
     p.add_argument("--intervention_mode", default="episode",
                    choices=["step", "episode", "rescue"])
@@ -255,6 +257,7 @@ def main():
         envs_per_task=args.envs_per_task,
         batch_size=args.batch_size,
         utd_ratio=args.utd_ratio,
+        updates_per_iter=args.updates_per_iter,
         training_starts=args.training_starts,
         random_steps=args.random_steps,
         buffer_capacity=((20_000 if args.pixels else 200_000) // n) * n,
@@ -363,7 +366,7 @@ def main():
         prev = {"ep": ep, "ret": ret, "succ": succ, "gt": gt}
         ev = evaluate_chained_env(
             eval_env, carry.fw_agent, carry.bw_agent,
-            jax.random.PRNGKey(steps), num_episodes=32,
+            jax.random.PRNGKey(steps), num_episodes=args.eval_episodes,
             pixel_keys=pixel_keys,
         )
         line += (

@@ -151,10 +151,16 @@ class ChainedBinEnv:
         )
         fresh = engine.init_state(jnp.zeros(2))
 
+        # "lost" = outside the zone the ARM can actually grasp in: the
+        # safety box clips the mocap to x [0.38, 0.52], y [-0.23, 0.23]
+        # (BinRelocationEnv config), so a cube ejected past that (grasps
+        # near walls can squeeze it out at speed) is unrecoverable by any
+        # policy and the chain would nudge it forever
         cube = es.physics.cube_pos
         lost = (
-            (jnp.abs(cube[0] - 0.45) > 0.12)
-            | (jnp.abs(cube[1]) > 0.28)
+            (cube[0] < 0.383)
+            | (cube[0] > 0.517)
+            | (jnp.abs(cube[1]) > 0.226)
             | (cube[2] > 0.30)
             | (cube[2] < -0.05)
         )

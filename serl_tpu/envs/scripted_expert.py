@@ -133,9 +133,18 @@ def relocation_expert_action(
     theta = phys.theta
     tgt = jnp.asarray(target_bin, jnp.float32)
 
-    over_bin = jnp.linalg.norm(cube[:2] - tgt) < 0.04
-    holding = (theta > 0.25) & (cube[2] > 0.05)
-    closing = theta > 0.25
+    # phase inference must distinguish "closed AROUND the cube" from
+    # "closed on air" (round-5 fix): a missed grasp — common when the cube
+    # sits against a bin wall and the closing pads squeeze it out — used to
+    # leave theta > 0.25 with no cube, and the old `closing = theta > 0.25`
+    # sent the expert into an empty carry it could never leave (the release
+    # condition requires the cube lifted). That deadlock, repeated across
+    # chained episodes, capped the chained expert at ~0.67. Now: closed-but-
+    # empty opens the gripper and restarts the approach.
+    near_hand = jnp.linalg.norm(tcp - cube) < 0.045
+    closing = (theta > 0.25) & near_hand
+    empty_closed = (theta > 0.25) & ~near_hand
+    holding = closing & (cube[2] > 0.05)
 
     xy_err = jnp.linalg.norm(tcp[:2] - cube[:2])
     aligned = xy_err < 0.010
@@ -144,16 +153,27 @@ def relocation_expert_action(
     above_cube = jnp.concatenate([cube[:2], jnp.asarray([0.18])])
     grasp_pos = jnp.concatenate([cube[:2], cube[2:3] - 0.006])
     carry = jnp.concatenate([tgt, jnp.asarray([0.15])])
+    # GENTLE delivery (round-5 fix): descend over the bin before releasing.
+    # The old expert released at z~0.15 — a 13 cm drop that bounced the cube
+    # off the 4 cm walls into corners, capping the CHAINED expert at ~0.67
+    # episode success (vs 0.88 from centered resets) because the next grasp
+    # had to dig a wedged cube out; policies cloned the same bounce. Lowering
+    # to ~4 cm above the floor before opening keeps deliveries centered.
+    lower = jnp.concatenate([tgt, jnp.asarray([0.085])])
+    over_tgt = jnp.linalg.norm(tcp[:2] - tgt) < 0.02
 
     target = jnp.where(
         holding,
-        carry,
+        jnp.where(over_tgt, lower, carry),
         jnp.where(closing, carry, jnp.where(aligned, grasp_pos, above_cube)),
     )
-    # release once the held cube is over the bin
-    release = holding & (jnp.linalg.norm(tcp[:2] - tgt) < 0.02)
+    # release once the held cube is over the bin AND lowered; also open on
+    # a closed-empty gripper so the approach can restart
+    release = holding & over_tgt & (tcp[2] < 0.10)
     grasp = jnp.where(
-        release, -1.0, jnp.where(near_grasp | closing | holding, 1.0, -1.0)
+        release | empty_closed,
+        -1.0,
+        jnp.where(near_grasp | closing | holding, 1.0, -1.0),
     )
 
     # PD control on OBSERVED quantities: proportional on the tcp error,
