@@ -219,6 +219,12 @@ def main():
     p.add_argument("--intervention_min_prob", type=float, default=0.05)
     p.add_argument("--discount", type=float, default=0.98)
     p.add_argument("--bc_weight", type=float, default=0.3)
+    # cosine lr decay to ~0 over the run: late-training SAC on sparse
+    # long-horizon tasks oscillates between evals (r5 state runs swing
+    # 0.6<->0.9); annealing the lr freezes the policies into their basin
+    # for the endgame (the reference's human equivalently just stops at a
+    # good policy)
+    p.add_argument("--lr_decay", action="store_true")
     p.add_argument("--demo_streams", type=int, default=16)
     p.add_argument("--demo_steps", type=int, default=500,
                    help="chained-expert steps per demo stream (0 = no demos)")
@@ -268,6 +274,23 @@ def main():
         intervention_min_prob=args.intervention_min_prob,
     )
 
+    # optional cosine lr decay over the whole run, per optimizer-step group
+    opt_kwargs = {}
+    if args.lr_decay:
+        iters = args.total_steps // n
+        critic_steps = iters * args.updates_per_iter * args.utd_ratio
+        actor_steps = iters * args.updates_per_iter
+        opt_kwargs = dict(
+            actor_optimizer_kwargs={
+                "learning_rate": 3e-4, "warmup_steps": 2000,
+                "cosine_decay_steps": actor_steps,
+            },
+            critic_optimizer_kwargs={
+                "learning_rate": 3e-4, "warmup_steps": 2000,
+                "cosine_decay_steps": critic_steps,
+            },
+        )
+
     example = make_example_transition(args.pixels, args.image_size)
     rb_kwargs = dict(
         store_next_obs=not args.pixels,
@@ -294,7 +317,7 @@ def main():
             agent = make_drq_agent(
                 seed, sample, jnp.zeros((1, ACT_DIM)),
                 image_keys=IMAGE_KEYS, encoder_type="small",
-                discount=args.discount,
+                discount=args.discount, **opt_kwargs,
             )
             if args.bc_weight > 0:
                 agent = agent.replace(config=agent.config._replace(
@@ -306,10 +329,12 @@ def main():
     else:
         fw_agent = make_sac_agent(args.seed, obs_dim=OBS_DIM,
                                   action_dim=ACT_DIM, discount=args.discount,
-                                  bc_regularization=args.bc_weight)
+                                  bc_regularization=args.bc_weight,
+                                  **opt_kwargs)
         bw_agent = make_sac_agent(args.seed + 1, obs_dim=OBS_DIM,
                                   action_dim=ACT_DIM, discount=args.discount,
-                                  bc_regularization=args.bc_weight)
+                                  bc_regularization=args.bc_weight,
+                                  **opt_kwargs)
 
     # chained-expert demos, routed by task (handoff states included natively)
     fw_demo = bw_demo = demo_rb = None

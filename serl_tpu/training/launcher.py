@@ -78,8 +78,10 @@ def make_drq_agent(
     encoder_type: str = "small",
     shared_encoder: bool = False,
     discount: float = 0.96,
+    **kwargs,
 ):
-    """Pixel DrQ with reference defaults (launcher.py:79-116)."""
+    """Pixel DrQ with reference defaults (launcher.py:79-116). Extra kwargs
+    (e.g. optimizer overrides) pass through to create_drq."""
     from serl_tpu.agents.drq import DrQAgent
 
     return DrQAgent.create_drq(
@@ -111,6 +113,7 @@ def make_drq_agent(
         backup_entropy=False,
         critic_ensemble_size=10,
         critic_subsample_size=2,
+        **kwargs,
     )
 
 
