@@ -184,10 +184,33 @@ def train_fwbw_classifiers(args, out):
                 ),
             }
             state, info = classifier_train_step(state, batch, k4)
+        # per-step FP/FN at candidate thresholds: an episode terminates on
+        # the FIRST positive, so per-step FP must be <<1% or the task graph
+        # free-runs on classifier noise (observed: demo success 0.02 at
+        # threshold 0.5 with a 0.89-acc classifier)
+        @jax.jit
+        def _probs(px):
+            return jax.nn.sigmoid(
+                state.apply_fn({"params": state.params}, {CLS_KEY: px},
+                               train=False)
+            )
+        def batch_probs(arr):
+            outp = []
+            for i in range(0, arr.shape[0], 512):
+                outp.append(np.asarray(_probs(arr[i:i + 512])))
+            return np.concatenate(outp) if outp else np.zeros(0)
+        pos_p = batch_probs(pos)
+        neg_p = batch_probs(neg)
+        rates = {
+            t: (float((neg_p >= t).mean()), float((pos_p < t).mean()))
+            for t in (0.5, 0.75, 0.85, 0.95)
+        }
         print(
             f"{name} classifier: final loss {float(info['loss']):.4f} "
             f"acc {float(info['accuracy']):.3f} "
-            f"({pos.shape[0]} pos / {neg.shape[0]} neg)",
+            f"({pos.shape[0]} pos / {neg.shape[0]} neg); "
+            "FP/FN per threshold: "
+            + " ".join(f"{t}:{fp:.3f}/{fn:.3f}" for t, (fp, fn) in rates.items()),
             file=out, flush=True,
         )
         apply = state.apply_fn
@@ -235,7 +258,8 @@ def main():
     p.add_argument("--classifier_reward", action="store_true",
                    help="train fw/bw success classifiers and drive reward/"
                         "termination/task-switch from them (reference E6)")
-    p.add_argument("--classifier_epochs", type=int, default=300)
+    p.add_argument("--classifier_epochs", type=int, default=800)
+    p.add_argument("--classifier_threshold", type=float, default=0.85)
     p.add_argument("--pixels", action="store_true")
     p.add_argument("--image_size", type=int, default=128)
     p.add_argument("--total_steps", type=int, default=2_500_000)
@@ -256,6 +280,7 @@ def main():
         render_size=args.image_size,
         fresh_reset_prob=args.fresh_reset_prob,
         classifier_fns=classifier_fns,
+        classifier_threshold=args.classifier_threshold,
     )
     n = args.envs_per_task * 2
 
@@ -344,8 +369,17 @@ def main():
             capacity=args.demo_streams * args.demo_steps,
             **rb_kwargs,
         )
+        # demos come from a GROUND-TRUTH chained env (clean terminations):
+        # collecting through the classifier env lets per-step false
+        # positives cut expert episodes short and mislabel their rewards —
+        # the reference's demos are human-supervised recordings
+        demo_env = ChainedBinEnv(
+            dense_shaping=args.dense, image_obs=args.pixels,
+            render_size=args.image_size,
+            fresh_reset_prob=args.fresh_reset_prob,
+        )
         fw_demo, bw_demo, stats = collect_chained_demos(
-            env, demo_rb, args.demo_streams, args.demo_steps,
+            demo_env, demo_rb, args.demo_streams, args.demo_steps,
             jax.random.PRNGKey(args.seed + 1000), pixel_obs=args.pixels,
         )
         print(f"chained demos: {stats}", file=out, flush=True)

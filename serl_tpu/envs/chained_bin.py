@@ -59,6 +59,7 @@ class ChainedBinEnv:
         render_size: int = 128,
         fresh_reset_prob: float = 0.05,
         classifier_fns: Optional[Tuple] = None,
+        classifier_threshold: float = 0.5,
     ):
         kw = dict(
             dense_shaping=dense_shaping,
@@ -72,6 +73,12 @@ class ChainedBinEnv:
         self.dense_shaping = dense_shaping
         self.fresh_reset_prob = float(fresh_reset_prob)
         self.classifier_fns = classifier_fns
+        # reference compute_reward uses sigmoid >= 0.5 (wrappers.py:46-49);
+        # a RAISED threshold is the lever against per-step false positives:
+        # a 100-step episode terminates (and flips the task graph) on the
+        # FIRST positive, so the per-step FP rate must be << 1% — pick the
+        # threshold from the classifier's measured FP curve, not by default
+        self.classifier_threshold = float(classifier_threshold)
 
     @property
     def time_limit_steps(self) -> int:
@@ -112,8 +119,9 @@ class ChainedBinEnv:
 
         front, _ = render_cameras(es.physics, self.render_size)
         fw_fn, bw_fn = self.classifier_fns
-        d_fw = (jax.nn.sigmoid(fw_fn(front)) >= 0.5).astype(jnp.float32)
-        d_bw = (jax.nn.sigmoid(bw_fn(front)) >= 0.5).astype(jnp.float32)
+        thr = self.classifier_threshold
+        d_fw = (jax.nn.sigmoid(fw_fn(front)) >= thr).astype(jnp.float32)
+        d_bw = (jax.nn.sigmoid(bw_fn(front)) >= thr).astype(jnp.float32)
         return jnp.squeeze(d_fw), jnp.squeeze(d_bw), gt_fw, gt_bw
 
     def _chain_or_fresh_reset(
