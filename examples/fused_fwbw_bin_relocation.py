@@ -133,16 +133,17 @@ def train_fwbw_classifiers(args, out):
             )(new_states.env.physics)
             lab_fw = jax.vmap(gt_fw_env._success)(new_states.env)
             lab_bw = jax.vmap(gt_bw_env._success)(new_states.env)
-            return new_states, (front, lab_fw, lab_bw)
+            cube = new_states.env.physics.cube_pos
+            return new_states, (front, lab_fw, lab_bw, cube)
 
-        _, (fronts, lab_fw, lab_bw) = jax.lax.scan(
+        _, (fronts, lab_fw, lab_bw, cubes) = jax.lax.scan(
             body, states, jnp.arange(150)
         )
-        return fronts, lab_fw, lab_bw
+        return fronts, lab_fw, lab_bw, cubes
 
-    frames, lfw, lbw = [], [], []
-    for i, noise in enumerate((0.05, 0.3, 0.8)):
-        f, a, b = rollout(
+    frames, lfw, lbw, cub = [], [], [], []
+    for i, noise in enumerate((0.05, 0.2, 0.4, 0.8)):
+        f, a, b, c = rollout(
             jax.random.split(jax.random.PRNGKey(args.seed + 7000 + i), m),
             jax.random.PRNGKey(args.seed + 7100 + i),
             noise,
@@ -150,9 +151,11 @@ def train_fwbw_classifiers(args, out):
         frames.append(np.asarray(f).reshape((-1,) + f.shape[2:]))
         lfw.append(np.asarray(a).reshape(-1))
         lbw.append(np.asarray(b).reshape(-1))
+        cub.append(np.asarray(c).reshape(-1, 3))
     frames = np.concatenate(frames)
     lfw = np.concatenate(lfw)
     lbw = np.concatenate(lbw)
+    cub = np.concatenate(cub)
     print(
         f"classifier data: {frames.shape[0]} frames "
         f"(fw pos {lfw.mean():.2f}, bw pos {lbw.mean():.2f})",
@@ -161,8 +164,34 @@ def train_fwbw_classifiers(args, out):
 
     fns = []
     for name, labels in (("fw", lfw), ("bw", lbw)):
-        pos = jnp.asarray(frames[labels > 0.5])[:, None]
-        neg = jnp.asarray(frames[labels <= 0.5])[:, None]
+        # boundary-hard mining: the costly errors are frames with the cube
+        # NEAR the target bin's edge (rim hovers, wall-top perches) — a
+        # false positive there terminates episodes and lets the policy farm
+        # the classifier instead of delivering (observed: bw GT success
+        # collapsed while classifier return stayed ~0.9). Oversample the
+        # boundary band in every batch.
+        tgt_bin = np.array([0.45, 0.15]) if name == "fw" else np.array(
+            [0.45, -0.15]
+        )
+        edge_dist = np.abs(
+            np.max(np.abs(cub[:, :2] - tgt_bin), axis=1) - 0.06
+        )
+        hard = (edge_dist < 0.035) | (cub[:, 2] > 0.045)
+        pos_mask = labels > 0.5
+        pos = jnp.asarray(frames[pos_mask])[:, None]
+        neg = jnp.asarray(frames[~pos_mask])[:, None]
+        pos_hard_idx = np.nonzero(pos_mask & hard)[0]
+        neg_hard_idx = np.nonzero((~pos_mask) & hard)[0]
+        # map into pos/neg-local indices
+        pos_local = np.cumsum(pos_mask) - 1
+        neg_local = np.cumsum(~pos_mask) - 1
+        pos_hard = jnp.asarray(pos_local[pos_hard_idx])
+        neg_hard = jnp.asarray(neg_local[neg_hard_idx])
+        print(
+            f"{name}: {pos.shape[0]} pos ({len(pos_hard)} hard) / "
+            f"{neg.shape[0]} neg ({len(neg_hard)} hard)",
+            file=out, flush=True,
+        )
         state = create_classifier(
             jax.random.PRNGKey(args.seed + (0 if name == "fw" else 1)),
             {CLS_KEY: pos[:1]},
@@ -172,9 +201,16 @@ def train_fwbw_classifiers(args, out):
         rng = jax.random.PRNGKey(args.seed + 17)
         n_half = 64
         for epoch in range(args.classifier_epochs):
-            rng, k1, k2, k3, k4 = jax.random.split(rng, 5)
+            rng, k1, k2, k3, k4, k5, k6 = jax.random.split(rng, 7)
             pi = jax.random.randint(k1, (n_half,), 0, pos.shape[0])
             ni = jax.random.randint(k2, (n_half,), 0, neg.shape[0])
+            # half of each side from the boundary-hard pools
+            if len(pos_hard) > 0:
+                sel = jax.random.randint(k5, (n_half // 2,), 0, len(pos_hard))
+                pi = pi.at[: n_half // 2].set(pos_hard[sel])
+            if len(neg_hard) > 0:
+                sel = jax.random.randint(k6, (n_half // 2,), 0, len(neg_hard))
+                ni = ni.at[: n_half // 2].set(neg_hard[sel])
             px = jnp.concatenate([pos[pi], neg[ni]])
             px = batched_random_crop(px, k3, padding=4, num_batch_dims=2)
             batch = {
