@@ -62,6 +62,11 @@ def main():
     p.add_argument("--demo_reset_prob", type=float, default=0.0)
     p.add_argument("--eval_episodes", type=int, default=32)
     p.add_argument("--bc_weight", type=float, default=0.0)
+    p.add_argument("--lr_decay", action="store_true",
+                   help="cosine lr decay over the run (freezes the policy "
+                        "into its basin for the endgame; counters the "
+                        "0.1<->0.8 eval oscillation of sparse tight-"
+                        "tolerance SAC)")
     p.add_argument("--discount", type=float, default=0.97)
     p.add_argument("--total_steps", type=int, default=200_000)
     p.add_argument("--checkpoint_dir", type=str, default=None)
@@ -141,9 +146,23 @@ def main():
         },
         capacity=config.buffer_capacity,
     )
+    opt_kwargs = {}
+    if args.lr_decay:
+        iters = args.total_steps // args.num_envs
+        opt_kwargs = dict(
+            actor_optimizer_kwargs={
+                "learning_rate": 3e-4, "warmup_steps": 2000,
+                "cosine_decay_steps": iters,
+            },
+            critic_optimizer_kwargs={
+                "learning_rate": 3e-4, "warmup_steps": 2000,
+                "cosine_decay_steps": iters * args.utd_ratio,
+            },
+        )
     agent = make_sac_agent(args.seed, obs_dim=OBS_DIM, action_dim=ACT_DIM,
                            discount=args.discount,
-                           bc_regularization=args.bc_weight)
+                           bc_regularization=args.bc_weight,
+                           **opt_kwargs)
     init_fn, run_chunk = make_fused_loop(env, rb, config, expert_fn=expert)
 
     logger = Logger(
