@@ -47,14 +47,19 @@ V5E_BF16_PEAK = 197e12  # TFLOP/s, one v5e chip
 
 
 def time_fn(fn, args, iters):
+    import numpy as np
+
+    # fetch a scalar each round: through the remote-TPU tunnel
+    # block_until_ready does NOT wait for completion (same workaround as
+    # bench.py)
     out = fn(*args)
-    jax.block_until_ready(out)
+    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
-        jax.block_until_ready(out)
+        np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
@@ -107,7 +112,13 @@ def sol_bench(batch_size, utd, iters, size=128):
         def body(c, x):
             o, n = x
             l, g = tower(params, o, n)
-            return c + l, None
+            # consume the grads or XLA dead-code-eliminates the whole
+            # backward pass
+            gsum = sum(
+                jnp.sum(leaf.astype(jnp.float32) ** 2)
+                for leaf in jax.tree.leaves(g)
+            )
+            return c + l + gsum, None
 
         acc, _ = jax.lax.scan(
             body, jnp.zeros(()), (obs_all, next_all)
