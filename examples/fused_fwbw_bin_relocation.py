@@ -24,13 +24,17 @@ delivered it, then bw runs — round-trip success is the headline. SOLVED
 requires TWO consecutive evals >= 0.8 (solve-criteria hardening, VERDICT
 r4 weak #5).
 
-Proven recipe (results/RESULTS.md):
+Proven recipe (results/RESULTS.md; state FINAL fresh round-trip 0.64,
+live evals to 0.81):
     python examples/fused_fwbw_bin_relocation.py \
-        --bc_weight 0.3 --discount 0.98 \
-        --intervention_decay_steps 300000 --intervention_min_prob 0.05 \
-        --total_steps 2500000
-    # DrQ from front+wrist cameras (the reference's E6 class): add
-    # --pixels --total_steps 600000 --intervention_decay_steps 150000
+        --bc_weight 0.3 --discount 0.98 --intervention_mode rescue \
+        --intervention_prob 0.02 --intervention_decay_steps 1500000 \
+        --intervention_min_prob 0.008 --fresh_reset_prob 0.1 \
+        --demo_steps 600 --total_steps 3000000
+    # DrQ from front+wrist cameras (the reference's E6 class; best fresh
+    # 0.52 at an 800k budget): --pixels --demo_steps 300
+    #   --intervention_decay_steps 400000 --total_steps 800000
+    # Do NOT add --lr_decay before the policies wake up (see RESULTS.md)
 """
 
 import argparse
